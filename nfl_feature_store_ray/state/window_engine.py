@@ -1,0 +1,211 @@
+"""The window engine — per-conversation point-in-time features.
+
+Implements the reference's window-family semantics (SURVEY §2.6, verified
+empirically, probes 1-5) transplanted to the transcript domain (§7.0):
+
+  W1 ``last_X``        lag-1 over the entity's ordered turns
+                       (ref probe 1: raw value at game k-1, cross-season)
+  W2 ``form_X``        rolling-FORM_WINDOW mean, min_periods=1, shifted 1
+                       (ref probe 2: rolling 3, NOT the dictionary's 5)
+  W3 ``session_avg_X`` per-session expanding mean SEEDED with the entity's
+                       final raw value of the prior session, shifted 1;
+                       session-start row carries the prior session's final
+                       expanding value; first session unseeded, first-ever
+                       row null (ref probe 3, season carryover chain)
+  W5 ``ewma_X``        recursive EWMA alpha=2/(span+1), adjust=False,
+                       shifted 1 (ref probe 5: ewm(span=10, adjust=False))
+  W6 ``roll10_tool_rate`` rolling-COVER_WINDOW mean of a 0/1 indicator,
+                       shifted 1 (ref probe 6: rolling_spread_cover)
+  W7 ``gap_s``         seconds since previous turn (ref `rest`)
+  plus ``avg_X``       whole-conversation expanding mean shifted 1
+                       (cross-epoch variant of W3, unseeded)
+  and sessionization   inactivity-gap epoch splits (gap > SESSION_GAP_S)
+
+"Shifted" always means: the feature row at turn k sees ONLY turns with
+(ts, tie) strictly earlier — the zero-temporal-leakage contract
+(BASELINE.json north_rule), enforced by tests/test_leakage.py.
+
+Execution shape: one hash-bucket shuffle (stages.bucketize), then ONE
+vectorized pandas scan per bucket computing every family. Rolling sums use
+the cumsum-difference trick (two group-shifts per window) instead of
+``groupby(...).rolling`` so the per-bucket kernel stays O(rows) columnar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nfl_feature_store_ray.schemas import (
+    COVER_WINDOW,
+    DEFAULT_NUM_BUCKETS,
+    DEFAULT_WINDOW_METRICS,
+    EWMA_SPAN,
+    FORM_WINDOW,
+    SESSION_GAP_S,
+)
+from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+from nfl_feature_store_ray.stages.derive import derive_turn_columns
+
+
+def compute_bucket_windows(
+    df: pd.DataFrame,
+    metrics: tuple[str, ...] = DEFAULT_WINDOW_METRICS,
+    session_gap_s: int = SESSION_GAP_S,
+    assign_turn_idx: bool = False,
+    form_window: int = FORM_WINDOW,
+    cover_window: int = COVER_WINDOW,
+    ewma_span: int = EWMA_SPAN,
+) -> pd.DataFrame:
+    """Vectorized window kernel over ONE sorted bucket of whole conversations.
+
+    ``df`` must be sorted by (conv_id, ts, tie). Pure function — also serves
+    as the single-process oracle the distributed path is tested against.
+    """
+    df = df.reset_index(drop=True)
+    conv = df["conv_id"]
+    g = df.groupby(conv, sort=False)
+    cumcount = g.cumcount()
+
+    if assign_turn_idx:
+        df["turn_idx"] = cumcount.astype("int32")
+
+    # --- W7 gap + sessionization ------------------------------------------
+    prev_ts = g["ts"].shift()
+    gap = (df["ts"] - prev_ts).dt.total_seconds()
+    df["gap_s"] = gap.astype("float64")
+    new_sess = (gap > session_gap_s).fillna(False)
+    df["session_id"] = new_sess.groupby(conv, sort=False).cumsum().astype("int32")
+    df["session_turn_idx"] = (
+        df.groupby([conv, df["session_id"]], sort=False).cumcount().astype("int32")
+    )
+
+    # --- per-role strictly-prior counts -----------------------------------
+    for r in ("user", "assistant", "tool"):
+        onehot = df[f"is_{r}"].astype("int64")
+        df[f"n_prior_{r}"] = onehot.groupby(conv, sort=False).cumsum() - onehot
+
+    # --- tool-usage lag features ------------------------------------------
+    is_tool = df["is_tool"].astype(bool)
+    tool_idx = cumcount.astype("float64").where(is_tool)
+    prev_tool_idx = tool_idx.groupby(conv, sort=False).shift().groupby(conv, sort=False).ffill()
+    df["turns_since_tool"] = cumcount.astype("float64") - prev_tool_idx
+    tool_ts = df["ts"].where(is_tool)
+    prev_tool_ts = tool_ts.groupby(conv, sort=False).shift().groupby(conv, sort=False).ffill()
+    df["secs_since_tool"] = (df["ts"] - prev_tool_ts).dt.total_seconds().astype("float64")
+
+    # --- rolling indicator rate (W6) --------------------------------------
+    df["roll10_tool_rate"] = _rolling_mean_shifted(
+        df["is_tool"].astype("float64"), conv, cumcount, cover_window
+    )
+
+    # --- metric window families -------------------------------------------
+    for m in metrics:
+        x = df[m].astype("float64")
+        xg = x.groupby(conv, sort=False)
+        df[f"last_{m}"] = xg.shift()
+        df[f"form_{m}"] = _rolling_mean_shifted(x, conv, cumcount, form_window)
+        cs = xg.cumsum()
+        cnt = cumcount.astype("float64")
+        df[f"avg_{m}"] = ((cs - x) / cnt).where(cnt > 0)
+        ew = xg.ewm(span=ewma_span, adjust=False).mean()
+        df[f"ewma_{m}"] = pd.Series(ew.to_numpy(), index=df.index).groupby(
+            conv, sort=False
+        ).shift()
+        df[f"session_avg_{m}"] = _session_seeded_expanding(df, conv, x, m)
+
+    return df
+
+
+def _rolling_mean_shifted(
+    x: pd.Series, conv: pd.Series, cumcount: pd.Series, window: int
+) -> pd.Series:
+    """mean of up to ``window`` strictly-prior values per conversation.
+
+    Equals SQL ``AVG(x) OVER (PARTITION BY conv ORDER BY ts, tie
+    ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)``; first row -> NaN.
+    """
+    cs = x.groupby(conv, sort=False).cumsum()
+    csg = cs.groupby(conv, sort=False)
+    hi = csg.shift(1)
+    # rows with fewer than `window` prior values: lo falls off group start -> 0
+    lo = csg.shift(1 + window).fillna(0.0)
+    s = hi - lo
+    n = cumcount.clip(upper=window).astype("float64")
+    return (s / n).where(n > 0)
+
+
+def _session_seeded_expanding(
+    df: pd.DataFrame, conv: pd.Series, x: pd.Series, m: str
+) -> pd.Series:
+    """W3: per-session expanding mean with prior-session seed (ref probe 3).
+
+    Session s > 0:
+      row 0      -> prior session's FINAL expanding value (carryover chain)
+      row k > 0  -> (seed_s + sum(x[0..k-1])) / (1 + k),
+                    seed_s = last raw value of session s-1
+    Session 0 (unseeded): row 0 -> NaN, row k -> mean(x[0..k-1]).
+    """
+    sess = df["session_id"]
+    gcs = x.groupby([conv, sess], sort=False)
+    cs_in = gcs.cumsum() - x  # sum of strictly-prior values within session
+    cnt_in = df.groupby([conv, sess], sort=False).cumcount().astype("float64")
+
+    agg = (
+        pd.DataFrame({"conv_id": conv, "session_id": sess, "x": x})
+        .groupby(["conv_id", "session_id"], sort=False)["x"]
+        .agg(total="sum", n="count", last="last")
+        .reset_index()
+    )
+    ag = agg.groupby("conv_id", sort=False)
+    agg["seed"] = ag["last"].shift()
+    # final expanding value of each session (used as next session's row-0 value)
+    agg["final_exp"] = np.where(
+        agg["session_id"] == 0,
+        agg["total"] / agg["n"],
+        (agg["seed"] + agg["total"]) / (1.0 + agg["n"]),
+    )
+    agg["prev_final"] = agg.groupby("conv_id", sort=False)["final_exp"].shift()
+
+    keyed = df[["conv_id", "session_id"]].merge(
+        agg[["conv_id", "session_id", "seed", "prev_final"]],
+        on=["conv_id", "session_id"],
+        how="left",
+        sort=False,
+    )
+    seed = keyed["seed"].to_numpy()
+    prev_final = keyed["prev_final"].to_numpy()
+    cnt = cnt_in.to_numpy()
+    cs = cs_in.to_numpy()
+    sess0 = sess.to_numpy() == 0
+
+    out = np.where(
+        sess0,
+        np.where(cnt > 0, cs / np.where(cnt > 0, cnt, 1.0), np.nan),
+        np.where(cnt > 0, (seed + cs) / (1.0 + cnt), prev_final),
+    )
+    return pd.Series(out, index=df.index)
+
+
+def window_features(
+    ds: ray.data.Dataset,
+    metrics: tuple[str, ...] = DEFAULT_WINDOW_METRICS,
+    session_gap_s: int = SESSION_GAP_S,
+    assign_turn_idx: bool = False,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    derive: bool = True,
+) -> ray.data.Dataset:
+    """Distributed window engine: derive -> bucket shuffle -> per-bucket scan."""
+    if derive:
+        ds = derive_turn_columns(ds)
+
+    def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        return compute_bucket_windows(
+            bucket,
+            metrics=metrics,
+            session_gap_s=session_gap_s,
+            assign_turn_idx=assign_turn_idx,
+        )
+
+    return map_conv_buckets(ds, fn, key="conv_id", num_buckets=num_buckets)

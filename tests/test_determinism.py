@@ -1,0 +1,55 @@
+"""Invariance tests (SURVEY §5.2 item 4): output must not depend on block
+count, partition (bucket) count, or physical input order."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from nfl_feature_store_ray.sources.transcripts import generate_transcripts
+from nfl_feature_store_ray.state.window_engine import window_features
+
+METRICS = ("value", "text_len")
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    return df[sorted(df.columns)]
+
+
+def _assert_same(a: pd.DataFrame, b: pd.DataFrame):
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        if a[c].dtype.kind in "fc":
+            np.testing.assert_allclose(
+                a[c].to_numpy(float), b[c].to_numpy(float), rtol=0, atol=0, equal_nan=True,
+                err_msg=c,
+            )
+        else:
+            assert (a[c].fillna("§") == b[c].fillna("§")).all(), c
+
+
+def test_invariant_to_partitioning_and_order():
+    tbl = generate_transcripts(n_convs=40, mean_turns=10, seed=31)
+
+    base = _canon(
+        window_features(rd.from_arrow(tbl), metrics=METRICS, num_buckets=2).to_pandas()
+    )
+
+    # different bucket count
+    alt_buckets = _canon(
+        window_features(rd.from_arrow(tbl), metrics=METRICS, num_buckets=16).to_pandas()
+    )
+    _assert_same(base, alt_buckets)
+
+    # different block structure
+    ds = rd.from_arrow(tbl).repartition(13)
+    alt_blocks = _canon(window_features(ds, metrics=METRICS, num_buckets=8).to_pandas())
+    _assert_same(base, alt_blocks)
+
+    # reversed physical row order
+    rev = tbl.take(list(range(tbl.num_rows - 1, -1, -1)))
+    alt_order = _canon(
+        window_features(rd.from_arrow(rev), metrics=METRICS, num_buckets=8).to_pandas()
+    )
+    _assert_same(base, alt_order)

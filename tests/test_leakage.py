@@ -1,0 +1,50 @@
+"""Leakage property test (SURVEY §5.2 item 3, north-rule zero-leakage).
+
+Truncate the input at any cut timestamp T; every feature row with ts <= T
+must be bit-identical to the full run — i.e. features are a pure function
+of the strict past (prefix determinism <=> zero temporal leakage).
+"""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from nfl_feature_store_ray.sources.transcripts import generate_transcripts
+from nfl_feature_store_ray.state.window_engine import window_features
+
+METRICS = ("value",)
+
+
+def _run(tbl):
+    return (
+        window_features(rd.from_arrow(tbl), metrics=METRICS, num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_prefix_determinism():
+    tbl = generate_transcripts(n_convs=25, mean_turns=12, seed=23)
+    full = _run(tbl)
+
+    ts = tbl.column("ts").to_pandas().sort_values().reset_index(drop=True)
+    for q in (0.3, 0.7):
+        cut = ts.iloc[int(len(ts) * q)]
+        trunc_tbl = tbl.filter(
+            np.asarray(tbl.column("ts").to_pandas() <= cut)
+        )
+        part = _run(trunc_tbl)
+        ref = full[full["ts"] <= cut].reset_index(drop=True)
+        assert len(part) == len(ref)
+        feat_cols = [c for c in full.columns if c.split("_")[0] in
+                     ("last", "form", "avg", "ewma", "session", "gap", "roll10", "n", "turns", "secs")]
+        for c in feat_cols:
+            a, b = part[c], ref[c]
+            if a.dtype.kind in "fc":
+                np.testing.assert_allclose(
+                    a.to_numpy(float), b.to_numpy(float), rtol=0, atol=0,
+                    equal_nan=True, err_msg=f"leak in {c} at cut q={q}"
+                )
+            else:
+                assert (a.to_numpy() == b.to_numpy()).all(), f"leak in {c} at cut q={q}"

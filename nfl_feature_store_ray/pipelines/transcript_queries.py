@@ -1,0 +1,425 @@
+"""Transcript window-feature queries + their ANSI-SQL (DuckDB) oracles.
+
+Each query runs the Ray-Data window engine over a transcript table derived
+deterministically from ``{sf_dir}/events.parquet`` (see
+``sources.transcripts``; the derivation is itself SQL-expressible, so every
+query has an exact DuckDB oracle over the same parquet).
+
+Float feature outputs are rounded to 6 decimals on BOTH sides so the
+driver's order-insensitive value hash is robust to sub-ulp differences in
+summation order between engines.
+
+Reference parity map (SURVEY §2.6): w_lag_gap=W1/W7, w_rolling=W2/W6,
+w_expanding≈W3 (unseeded), w_session_avg=W3 (seeded carryover chain),
+w_ewma=W5, w_session=sessionization, w_rank_day=W9/A12, w_densify=W4,
+w_asof_checkpoint=W8/J7.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nfl_feature_store_ray.schemas import EWMA_ALPHA, SESSION_GAP_S
+from nfl_feature_store_ray.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    transcripts_from_events,
+)
+from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+from nfl_feature_store_ray.state.asof import asof_join
+from nfl_feature_store_ray.state.window_engine import window_features
+
+_T = f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+_W = "PARTITION BY conv_id ORDER BY ts, _seq"
+
+
+def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].astype("float64"), 6)
+    return df
+
+
+def _features(sf_dir: str, metrics=("value",)) -> ray.data.Dataset:
+    ts = transcripts_from_events(sf_dir)
+    return window_features(ts, metrics=metrics, assign_turn_idx=True)
+
+
+def q_lag_gap(sf_dir: str):
+    out = _features(sf_dir).map_batches(
+        lambda df: _round6(
+            df[["conv_id", "turn_idx", "last_value", "gap_s"]], ["last_value", "gap_s"]
+        ),
+        batch_format="pandas",
+    )
+    return out
+
+
+SQL_LAG_GAP = f"""{_T}
+SELECT conv_id, turn_idx,
+       ROUND(LAG(value) OVER ({_W}), 6) AS last_value,
+       ROUND(CAST(epoch(ts - LAG(ts) OVER ({_W})) AS DOUBLE), 6) AS gap_s
+FROM t
+"""
+
+
+def q_rolling(sf_dir: str):
+    return _features(sf_dir).map_batches(
+        lambda df: _round6(
+            df[["conv_id", "turn_idx", "form_value", "roll10_tool_rate"]],
+            ["form_value", "roll10_tool_rate"],
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_ROLLING = f"""{_T}
+SELECT conv_id, turn_idx,
+       ROUND(AVG(value) OVER ({_W} ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS form_value,
+       ROUND(AVG(CASE WHEN role = 'tool' THEN 1.0 ELSE 0.0 END)
+             OVER ({_W} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 6) AS roll10_tool_rate
+FROM t
+"""
+
+
+def q_expanding(sf_dir: str):
+    return _features(sf_dir).map_batches(
+        lambda df: _round6(df[["conv_id", "turn_idx", "avg_value"]], ["avg_value"]),
+        batch_format="pandas",
+    )
+
+
+SQL_EXPANDING = f"""{_T}
+SELECT conv_id, turn_idx,
+       ROUND(AVG(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS avg_value
+FROM t
+"""
+
+
+def q_ewma(sf_dir: str):
+    return _features(sf_dir).map_batches(
+        lambda df: _round6(df[["conv_id", "turn_idx", "ewma_value"]], ["ewma_value"]),
+        batch_format="pandas",
+    )
+
+
+# Closed form of the recursive EWMA (adjust=False):
+#   y_k = (1-a)^k * sum_{i<=k} w_i,  w_0 = x_0,  w_i = a * x_i / (1-a)^i
+# Safe here: conversations are < ~100 turns, so (1/(1-a))^k stays < 1e9.
+SQL_EWMA = f"""{_T},
+s AS (
+  SELECT conv_id, turn_idx, ts, _seq,
+         CASE WHEN turn_idx = 0 THEN value
+              ELSE value * {EWMA_ALPHA!r} / POWER({1.0 - EWMA_ALPHA!r}, turn_idx) END AS w
+  FROM t
+),
+c AS (
+  SELECT conv_id, turn_idx, ts, _seq,
+         POWER({1.0 - EWMA_ALPHA!r}, turn_idx)
+           * SUM(w) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+  FROM s
+)
+SELECT conv_id, turn_idx, ROUND(LAG(y) OVER ({_W}), 6) AS ewma_value FROM c
+"""
+
+
+def q_session(sf_dir: str):
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["conv_id", "turn_idx", "session_id", "session_turn_idx"]]
+
+    return _features(sf_dir).map_batches(sel, batch_format="pandas")
+
+
+SQL_SESSION = f"""{_T},
+g AS (
+  SELECT conv_id, turn_idx, ts, _seq,
+         CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (
+  SELECT conv_id, turn_idx,
+         CAST(SUM(brk) OVER ({_W}) AS INTEGER) AS session_id
+  FROM g
+)
+SELECT conv_id, turn_idx, session_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, session_id ORDER BY turn_idx) - 1 AS INTEGER)
+         AS session_turn_idx
+FROM s
+"""
+
+
+def q_session_avg(sf_dir: str):
+    return _features(sf_dir).map_batches(
+        lambda df: _round6(
+            df[["conv_id", "turn_idx", "session_avg_value"]], ["session_avg_value"]
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_SESSION_AVG = f"""{_T},
+b AS (
+  SELECT conv_id, turn_idx, value, ts, _seq,
+         CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (SELECT *, SUM(brk) OVER ({_W}) AS sid FROM b),
+w AS (
+  SELECT *,
+         SUM(value) OVER (PARTITION BY conv_id, sid ORDER BY ts, _seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cs,
+         COUNT(value) OVER (PARTITION BY conv_id, sid ORDER BY ts, _seq
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cnt
+  FROM s
+),
+agg AS (
+  SELECT conv_id, sid, SUM(value) AS total, COUNT(*) AS n,
+         LAST(value ORDER BY ts, _seq) AS lastv
+  FROM s GROUP BY conv_id, sid
+),
+agg2 AS (
+  SELECT conv_id, sid,
+         LAG(lastv) OVER (PARTITION BY conv_id ORDER BY sid) AS seed,
+         CASE WHEN sid = 0 THEN total / n
+              ELSE (LAG(lastv) OVER (PARTITION BY conv_id ORDER BY sid) + total) / (1 + n)
+         END AS final_exp
+  FROM agg
+),
+agg3 AS (
+  SELECT conv_id, sid, seed,
+         LAG(final_exp) OVER (PARTITION BY conv_id ORDER BY sid) AS prev_final
+  FROM agg2
+)
+SELECT w.conv_id, w.turn_idx,
+       ROUND(CASE WHEN w.sid = 0
+                  THEN CASE WHEN w.cnt > 0 THEN w.cs / w.cnt END
+                  ELSE CASE WHEN w.cnt > 0 THEN (a3.seed + w.cs) / (1 + w.cnt)
+                            ELSE a3.prev_final END
+             END, 6) AS session_avg_value
+FROM w JOIN agg3 a3 ON w.conv_id = a3.conv_id AND w.sid = a3.sid
+"""
+
+
+def q_role_counts(sf_dir: str):
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[
+            [
+                "conv_id",
+                "turn_idx",
+                "n_prior_user",
+                "n_prior_assistant",
+                "n_prior_tool",
+                "turns_since_tool",
+                "secs_since_tool",
+            ]
+        ]
+        return _round6(out, ["turns_since_tool", "secs_since_tool"])
+
+    return _features(sf_dir).map_batches(sel, batch_format="pandas")
+
+
+SQL_ROLE_COUNTS = f"""{_T}
+SELECT conv_id, turn_idx,
+       COUNT(CASE WHEN role = 'user' THEN 1 END)
+         OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior_user,
+       COUNT(CASE WHEN role = 'assistant' THEN 1 END)
+         OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior_assistant,
+       COUNT(CASE WHEN role = 'tool' THEN 1 END)
+         OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior_tool,
+       ROUND(CAST(turn_idx - MAX(CASE WHEN role = 'tool' THEN turn_idx END)
+         OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 6)
+         AS turns_since_tool,
+       ROUND(CAST(epoch(ts - MAX(CASE WHEN role = 'tool' THEN ts END)
+         OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS DOUBLE), 6)
+         AS secs_since_tool
+FROM t
+"""
+
+
+def q_rank_day(sf_dir: str):
+    """Rank conversations within each day by their daily value sum (W9/A12).
+
+    Tie-break pinned: ROW_NUMBER over (rounded sum DESC, conv_id ASC) — the
+    reference's ranks are frame-order-dependent (SURVEY §0 probe 7); the
+    rebuild pins a deterministic sort instead.
+    """
+    ts = transcripts_from_events(sf_dir)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.floor("D")
+        return (
+            df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
+                columns={"value": "day_value"}
+            )
+        )
+
+    # per-batch partial aggregation, then a small exact groupby
+    from ray.data.aggregate import Sum
+
+    partials = ts.map_batches(day_partial, batch_format="pandas")
+    daily = partials.groupby(["day", "conv_id"]).aggregate(
+        Sum("day_value", alias_name="day_value")
+    )
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["day_value"] = np.round(g["day_value"], 6)
+        g = g.sort_values(["day_value", "conv_id"], ascending=[False, True], kind="mergesort")
+        g["day_rank"] = np.arange(1, len(g) + 1, dtype="int32")
+        return g
+
+    return daily.groupby("day").map_groups(rank_group, batch_format="pandas")
+
+
+SQL_RANK_DAY = f"""{_T},
+daily AS (
+  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  FROM t GROUP BY 1, 2
+)
+SELECT day, conv_id, day_value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY day_value DESC, conv_id ASC) AS INTEGER)
+         AS day_rank
+FROM daily
+"""
+
+
+def q_densify(sf_dir: str):
+    """W4: dense per-conversation day grid with carry-fill + expanding mean.
+
+    Analogue of the reference's weekly-grid densification with bye-week
+    fill (SURVEY §0 probe 4): missing (conv, day) cells carry the last
+    observed daily value; the expanding mean runs over the dense grid,
+    shifted one day.
+    """
+    ts = transcripts_from_events(sf_dir)
+
+    # two-pass: tiny global (min_day, max_day) aggregate, broadcast into the
+    # per-bucket grid builder
+    bounds = ts.map_batches(
+        lambda df: pd.DataFrame({"lo": [df["ts"].min()], "hi": [df["ts"].max()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo = bounds["lo"].min().floor("D")
+    hi = bounds["hi"].max().floor("D")
+    days = pd.date_range(lo, hi, freq="D")
+
+    def densify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.floor("D")
+        daily = (
+            df.groupby(["conv_id", "day"], as_index=False)["value"]
+            .sum()
+            .rename(columns={"value": "day_value"})
+        )
+        out = []
+        for conv_id, g in daily.groupby("conv_id", sort=True):
+            grid = g.set_index("day").reindex(days)
+            grid["conv_id"] = conv_id
+            grid["filled_value"] = grid["day_value"].ffill()
+            prev = grid["filled_value"].shift()
+            cnt = prev.notna().cumsum().astype("float64")
+            csum = prev.fillna(0.0).cumsum()
+            grid["grid_avg"] = (csum / cnt).where(cnt > 0)
+            grid = grid.reset_index().rename(columns={"index": "day"})
+            out.append(grid[["conv_id", "day", "day_value", "filled_value", "grid_avg"]])
+        res = pd.concat(out, ignore_index=True)
+        return _round6(res, ["day_value", "filled_value", "grid_avg"])
+
+    return map_conv_buckets(ts, densify_bucket, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_DENSIFY = f"""{_T},
+bounds AS (SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM t),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+convs AS (SELECT DISTINCT conv_id FROM t),
+daily AS (
+  SELECT conv_id, date_trunc('day', ts) AS day, SUM(value) AS day_value
+  FROM t GROUP BY 1, 2
+),
+grid AS (
+  SELECT c.conv_id, d.day, dl.day_value
+  FROM convs c CROSS JOIN days d
+  LEFT JOIN daily dl ON dl.conv_id = c.conv_id AND dl.day = d.day
+),
+filled AS (
+  SELECT conv_id, day, day_value,
+         LAST_VALUE(day_value IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY day) AS filled_value
+  FROM grid
+)
+SELECT conv_id, day, ROUND(day_value, 6) AS day_value,
+       ROUND(filled_value, 6) AS filled_value,
+       ROUND(AVG(filled_value) OVER (PARTITION BY conv_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS grid_avg
+FROM filled
+"""
+
+
+def q_asof_checkpoint(sf_dir: str):
+    """W8/J7: backfill each turn with the latest strictly-earlier checkpoint.
+
+    Checkpoints = every 10th turn of a conversation carrying the inclusive
+    running mean of `value`; the as-of join is strict (ts' < ts), i.e. a
+    turn landing exactly on a checkpoint sees the PREVIOUS one.
+    """
+    feats = _features(sf_dir)
+
+    def mk_ckpt(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["turn_idx"].astype("float64")
+        incl = (df["avg_value"].fillna(0.0) * cnt + df["value"]) / (cnt + 1.0)
+        df = df.assign(ckpt_value=incl)
+        df = df[df["turn_idx"] % 10 == 0]
+        return df[["conv_id", "ts", "ckpt_value"]]
+
+    ckpts = feats.map_batches(mk_ckpt, batch_format="pandas")
+    turns = feats.map_batches(
+        lambda df: df[["conv_id", "turn_idx", "ts"]], batch_format="pandas"
+    )
+    joined = asof_join(turns, ckpts, key="conv_id", on="ts", allow_exact_matches=False)
+    return joined.map_batches(
+        lambda df: _round6(
+            df[["conv_id", "turn_idx", "ckpt_value"]].rename(
+                columns={"ckpt_value": "asof_ckpt"}
+            ),
+            ["asof_ckpt"],
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_ASOF_CHECKPOINT = f"""{_T},
+f AS (
+  SELECT conv_id, turn_idx, ts,
+         AVG(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS incl_avg
+  FROM t
+),
+ck AS (SELECT conv_id, ts, incl_avg AS ckpt_value FROM f WHERE turn_idx % 10 = 0)
+SELECT f.conv_id, f.turn_idx, ROUND(ck.ckpt_value, 6) AS asof_ckpt
+FROM f ASOF LEFT JOIN ck ON f.conv_id = ck.conv_id AND f.ts > ck.ts
+"""
+
+
+QUERIES = {
+    "w_lag_gap": q_lag_gap,
+    "w_rolling": q_rolling,
+    "w_expanding": q_expanding,
+    "w_ewma": q_ewma,
+    "w_session": q_session,
+    "w_session_avg": q_session_avg,
+    "w_role_counts": q_role_counts,
+    "w_rank_day": q_rank_day,
+    "w_densify": q_densify,
+    "w_asof_checkpoint": q_asof_checkpoint,
+}
+
+ORACLES = {
+    "w_lag_gap": SQL_LAG_GAP,
+    "w_rolling": SQL_ROLLING,
+    "w_expanding": SQL_EXPANDING,
+    "w_ewma": SQL_EWMA,
+    "w_session": SQL_SESSION,
+    "w_session_avg": SQL_SESSION_AVG,
+    "w_role_counts": SQL_ROLE_COUNTS,
+    "w_rank_day": SQL_RANK_DAY,
+    "w_densify": SQL_DENSIFY,
+    "w_asof_checkpoint": SQL_ASOF_CHECKPOINT,
+}

@@ -1,0 +1,142 @@
+"""Deterministic text kernels: shingling, MinHash, SimHash, fingerprints,
+token stats, language-ID scoring.
+
+All hashes are seeded/deterministic (blake2b with fixed parameters, or
+fixed multiply-add permutations mod a Mersenne prime) so every pipeline is
+reproducible across runs, processes, and cluster sizes. These run inside
+``map_batches`` actor-pool stages; per-token work is Python-level but
+amortized per batch (the scale path is bounded by shingle explosion, not
+tokenization).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def token_split(text: str) -> list[str]:
+    """Whitespace split matching DuckDB ``string_split(text, ' ')``."""
+    return (text or "").split(" ")
+
+
+def shingle_set(text: str, k: int = 3) -> set[str]:
+    """Distinct k-word shingles of the lowercased space-split token stream."""
+    w = (text or "").lower().split(" ")
+    if len(w) < k:
+        return set()
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def hash64(s: str) -> int:
+    """Stable 61-bit hash of a string (blake2b-8, mod Mersenne-61)."""
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "little") % _MERSENNE61
+
+
+def minhash_params(num_perm: int = 128, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_matrix(
+    hash_lists: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Batch MinHash: one signature row per document.
+
+    Exact 61-bit modular arithmetic, vectorized as a (shingles x perms)
+    broadcast per document. Python-int math overflow is avoided by
+    splitting x into 30-bit halves (modmul decomposition); empty documents
+    get the sentinel signature p-1.
+
+    NOTE: a*hi and a*lo fit uint64 only if a < 2^33; params are drawn from
+    the full 61-bit range, so we reduce via object-free float-safe route:
+    use uint64 with Python-int fallback per overflow-free chunking below.
+    """
+    num_perm = len(a)
+    p = _MERSENNE61
+    out = np.full((len(hash_lists), num_perm), p - 1, dtype=np.uint64)
+    # object-dtype exact math on small matrices is fast enough (docs are
+    # small); per-doc cost is O(shingles * perms) bigint ops in numpy C loop
+    a_o = a.astype(object)
+    b_o = b.astype(object)
+    for d, hs in enumerate(hash_lists):
+        if len(hs) == 0:
+            continue
+        x = hs.astype(object)[:, None]  # (s, 1)
+        v = (a_o[None, :] * x + b_o[None, :]) % p  # (s, perms) exact
+        out[d] = np.array(v.min(axis=0), dtype=np.uint64)
+    return out
+
+
+def band_keys(sig: np.ndarray, bands: int) -> list[int]:
+    """LSH band bucket keys: hash of each contiguous signature slice."""
+    r = len(sig) // bands
+    keys = []
+    for bi in range(bands):
+        chunk = sig[bi * r : (bi + 1) * r].tobytes()
+        h = hashlib.blake2b(chunk, digest_size=8, person=b"lshband_").digest()
+        keys.append(int.from_bytes(h, "little") >> 1)  # non-negative int64
+    return keys
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over the token multiset."""
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8, person=b"simhash_").digest(),
+            "little",
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(tokens: list[str], base: int = 1_000_003) -> int:
+    """Polynomial rolling hash of the token-hash sequence mod Mersenne-61."""
+    acc = 0
+    for t in tokens:
+        acc = (acc * base + hash64(t)) % _MERSENNE61
+    return acc
+
+
+# --- language-ID marker lists (deterministic heuristic; SQL-mirrored) ------
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+LANGS = tuple(sorted(LANG_MARKERS))  # de, en, es, fr, zh — tie-break order
+
+
+def lang_scores(tokens: list[str]) -> dict[str, int]:
+    low = [t.lower() for t in tokens]
+    return {
+        lang: sum(1 for t in low if t in set(markers))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(tokens: list[str]) -> str:
+    scores = lang_scores(tokens)
+    best = max(scores.values())
+    for lang in LANGS:  # lexicographic-first on ties (pinned, SQL-mirrored)
+        if scores[lang] == best:
+            return lang
+    return "en"

@@ -1,0 +1,197 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+  ann_cosine_topk   exact brute-force cosine top-k: the query matrix is
+                    broadcast ONCE via ray.put, each map_batches task does
+                    one numpy matmul per batch and emits a per-batch
+                    partial top-k; a tiny final reduce merges partials.
+                    [oracle: DuckDB list_cosine_similarity]
+  ann_ivf           IVF-style scale path: deterministic coarse centroids,
+                    vectors assigned to nearest centroid (one shuffle key),
+                    queries probe NPROBE nearest centroids only.
+                    Approximate — no SQL oracle (rows-only check).
+
+Ranking determinism: similarities are rounded to 6 decimals BEFORE
+ranking, ties broken by vec_id ascending — identical rule in the SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from nfl_feature_store_ray.sources.readers import read_table
+
+TOP_K = 5
+N_QUERIES = 10
+NPROBE = 4
+N_CENTROIDS = 16
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Query set = the N_QUERIES lowest vec_ids (small, driver-side read)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    qids = df["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return qids, qm
+
+
+class _BatchTopK:
+    """Stateful map_batches stage: query matrix fetched from the object
+    store once per actor (__init__), matmul per batch (__call__)."""
+
+    def __init__(self, qids_ref, qmat_ref, k: int):
+        self.qids = ray.get(qids_ref)
+        self.qm = _norm_rows(ray.get(qmat_ref))
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        sims = _norm_rows(vecs) @ self.qm.T  # (batch, nq)
+        sims = np.round(sims, 6)
+        outs = []
+        for qi, qid in enumerate(self.qids):
+            col = sims[:, qi]
+            mask = vids != qid
+            order = np.lexsort((vids[mask], -col[mask]))[: self.k]
+            sel = np.flatnonzero(mask)[order]
+            outs.append(
+                pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": vids[sel], "cos_sim": col[sel]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+
+def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(
+        ["query_id", "cos_sim", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount().astype("int32") + 1
+    return df[["query_id", "rank", "neighbor_id", "cos_sim"]]
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    qids, qm = _load_queries(sf_dir)
+    qids_ref, qmat_ref = ray.put(qids), ray.put(qm)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = emb.map_batches(
+        _BatchTopK,
+        batch_format="pandas",
+        concurrency=2,
+        fn_constructor_args=(qids_ref, qmat_ref, TOP_K),
+    )
+    # partials: <= nq * k rows per batch — tiny final reduce on the driver
+    return _final_topk(partials.to_pandas(), TOP_K)
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_QUERIES}
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
+           AS cos_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.qid
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT qid AS query_id, CAST(rn AS INTEGER) AS rank, vec_id AS neighbor_id, cos_sim
+FROM r WHERE rn <= {TOP_K}
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k (the 100-TB scale path).
+
+    Coarse quantizer: deterministic centroids = the N_CENTROIDS
+    lowest-vec_id vectors, refined by 3 Lloyd iterations over a
+    driver-side sample (seeded, small). Vectors are assigned to their
+    nearest centroid inside map_batches; each query probes the NPROBE
+    nearest centroid lists only. Approximate by construction -> rows-only
+    driver check; tests assert recall vs the exact result.
+    """
+    import pyarrow.parquet as pq
+
+    qids, qm = _load_queries(sf_dir)
+
+    # driver-side sample for centroid refinement (seeded, bounded)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    sample = df.head(2000)
+    m = _norm_rows(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    cent = m[: N_CENTROIDS].copy()
+    for _ in range(3):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(N_CENTROIDS):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _norm_rows(cent)
+
+    cent_ref = ray.put(cent)
+    qn = _norm_rows(qm)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :NPROBE]  # (nq, NPROBE)
+    probe_sets = [set(map(int, row)) for row in probe]
+    qids_ref, qmat_ref = ray.put(qids), ray.put(qm)
+    probe_ref = ray.put(probe_sets)
+
+    class IvfTopK:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.qids = ray.get(qids_ref)
+            self.qm = _norm_rows(ray.get(qmat_ref))
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vecs = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            vids = df["vec_id"].to_numpy(dtype=np.int64)
+            cells = (vecs @ self.cent.T).argmax(axis=1)
+            sims = np.round(vecs @ self.qm.T, 6)
+            outs = []
+            for qi, qid in enumerate(self.qids):
+                in_probe = np.isin(cells, list(self.probe[qi]))
+                mask = in_probe & (vids != qid)
+                col = sims[:, qi]
+                order = np.lexsort((vids[mask], -col[mask]))[:TOP_K]
+                sel = np.flatnonzero(mask)[order]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": vids[sel], "cos_sim": col[sel]}
+                    )
+                )
+            return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            )
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = emb.map_batches(IvfTopK, batch_format="pandas", concurrency=2)
+    return _final_topk(partials.to_pandas(), TOP_K)
+
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf": q_ann_ivf,
+}
+
+ORACLES = {
+    "ann_cosine_topk": SQL_ANN_TOPK,
+}

@@ -1,0 +1,151 @@
+"""Text-analysis operators over ``documents``: token stats / quality
+scoring, language-ID (marker-token heuristic), document fingerprinting.
+
+Stateless per-batch transforms; lang-ID runs as an actor pool (marker
+sets compiled once per actor, `__init__`), matching the "stateful setup
+once per actor" pattern. Oracles mirror the arithmetic in DuckDB list
+lambdas where expressible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from nfl_feature_store_ray.functions import textfuncs as tf
+from nfl_feature_store_ray.sources.readers import read_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def q_text_stats(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split(" ") if t else [] for t in df["text"]]
+        low = [[w.lower() for w in ts] for ts in toks]
+        n_tokens = np.array([len(ts) for ts in toks], dtype=np.int64)
+        stop = np.array(
+            [sum(1 for w in ts if w in _STOPWORDS) for ts in low], dtype=np.int64
+        )
+        uniq = np.array([len(set(ts)) for ts in low], dtype=np.int64)
+        n_chars = np.array([len(t) for t in df["text"]], dtype=np.int64)
+        avg_tok = np.array(
+            [float(np.mean([len(w) for w in ts])) if ts else np.nan for ts in toks]
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            stop_ratio = np.where(n_tokens > 0, stop / n_tokens, np.nan)
+            uniq_ratio = np.where(n_tokens > 0, uniq / n_tokens, np.nan)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "stop_ratio": np.round(stop_ratio, 6),
+                "uniq_ratio": np.round(uniq_ratio, 6),
+                "avg_token_len": np.round(avg_tok, 6),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+_SW = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+SQL_TEXT_STATS = f"""
+WITH ws AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(lower(text), ' ') AS w
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       len(w) AS n_tokens,
+       ROUND(len(list_filter(w, x -> x IN ({_SW}))) / CAST(len(w) AS DOUBLE), 6) AS stop_ratio,
+       ROUND(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio,
+       ROUND(list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE), 6)
+         AS avg_token_len
+FROM ws
+"""
+
+
+class LangId:
+    """Actor-pool language-ID stage (marker sets prepared once per actor)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in tf.LANG_MARKERS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": df["doc_id"]}
+        toks = [[w.lower() for w in (t.split(" ") if t else [])] for t in df["text"]]
+        scores = {}
+        for lang, mk in self.markers.items():
+            scores[lang] = np.array(
+                [sum(1 for w in ts if w in mk) for ts in toks], dtype=np.int64
+            )
+            out[f"score_{lang}"] = scores[lang]
+        mat = np.stack([scores[lang] for lang in tf.LANGS], axis=1)
+        best = mat.argmax(axis=1)  # argmax: first (lexicographic) on ties
+        out["pred_lang"] = [tf.LANGS[i] for i in best]
+        return pd.DataFrame(out)
+
+
+def q_lang_id(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def _score_sql(lang: str) -> str:
+    mk = ", ".join(f"'{w}'" for w in tf.LANG_MARKERS[lang])
+    return f"len(list_filter(w, x -> x IN ({mk})))"
+
+
+_PRED_CASE = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"score_{lang} >= score_{other}" for other in tf.LANGS if other != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in tf.LANGS
+) + " END"
+
+SQL_LANG_ID = f"""
+WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         {", ".join(f"{_score_sql(lang)} AS score_{lang}" for lang in tf.LANGS)}
+  FROM ws
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in tf.LANGS)},
+       {_PRED_CASE} AS pred_lang
+FROM s
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Rolling polynomial hash over the token sequence (no SQL oracle —
+    bigint modular arithmetic is not portably SQL-expressible)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [
+                    np.int64(tf.rolling_fingerprint(tf.token_split(t.lower())) >> 2)
+                    for t in df["text"]
+                ],
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pandas")
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+}

@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The image/audio codecs are NOT available in this environment, so the
+decode kernels are STUBS (clearly marked): ``decode_real=True`` raises
+``NotImplementedError``; the default deterministic fake derives features
+from the payload bytes. Everything AROUND the stub is real and tested:
+Arrow binary schema, actor-pool map_batches with small batch sizes (large
+binary rows), zero-copy pyarrow batches in/out, partitioned output layout.
+
+Scale notes: binary payloads dominate block size — stages use small
+``batch_size`` so batch x concurrency fits worker heaps, and the payload
+column is dropped as early as possible (feature extraction emits only
+scalar/vector features).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.binary()),
+        pa.field("meta", pa.string()),  # JSON sidecar (width/height/rate...)
+    ]
+)
+
+
+def generate_media(n: int = 64, seed: int = 17) -> pa.Table:
+    """Deterministic synthetic media table (opaque byte payloads)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    ids, kind_col, payloads, metas = [], [], [], []
+    for i in range(n):
+        k = kinds[i % 3]
+        size = int(rng.integers(256, 4096))
+        ids.append(i)
+        kind_col.append(k)
+        payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+        metas.append(f'{{"kind": "{k}", "bytes": {size}}}')
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kind_col, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        }
+    )
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode (STUB) -> per-item feature vector.
+
+    Real decoders would be loaded ONCE here in ``__init__`` (model load /
+    codec init); ``__call__`` handles one Arrow batch. The deterministic
+    fake emits a 16-bin byte histogram + digest so the full pipeline is
+    testable end-to-end without codecs.
+    """
+
+    def __init__(self, decode_real: bool = False):
+        self.decode_real = decode_real
+
+    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if self.decode_real:
+            raise NotImplementedError(
+                "real image/audio decode requires codec libraries not present "
+                "in this environment; run with decode_real=False for the "
+                "deterministic fake decoder"
+            )
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return arr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds = batch["media_id"].to_pylist(), batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        hists, digests, sizes = [], [], []
+        for p, k in zip(payloads, kinds):
+            arr = self._decode(p, k)
+            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+            hist /= max(1, len(arr))
+            hists.append(hist)
+            digests.append(
+                int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "little") >> 1
+            )
+            sizes.append(len(p))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "digest": pa.array(digests, pa.int64()),
+                "byte_hist": pa.array(hists, pa.list_(pa.float64())),
+            }
+        )
+
+
+def media_features(ds: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
+    """Feature-extraction pipeline: small batches (binary payloads), actor
+    pool, payload dropped at the stub boundary."""
+    return ds.map_batches(
+        MediaFeaturizer,
+        batch_format="pyarrow",
+        batch_size=16,  # binary rows: keep batch x concurrency in heap
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing (STUB decode): emits every k-th
+    fixed-size chunk of the payload as a `frame` row (flat_map shape)."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame_idx, out_frame = [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            n_frames = len(payload) // self.frame_bytes
+            for fi in range(0, n_frames, self.stride):
+                out_id.append(mid)
+                out_frame_idx.append(fi)
+                out_frame.append(payload[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame_idx, pa.int32()),
+                "frame": pa.array(out_frame, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2)

@@ -1,0 +1,107 @@
+"""Dedup recall/precision on a planted corpus: exact dups, near-dups
+(small token edits), and unrelated docs. MinHash-LSH must find every
+planted near-dup pair (verification makes precision exact); SimHash must
+pair the exact/near-identical docs."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+PLANT_DIR = "/tmp/nfl_fs_dedup_plant"
+
+
+def _plant_docs() -> pd.DataFrame:
+    rng = np.random.default_rng(99)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    doc_id = 0
+    originals = []
+    for _ in range(40):  # unrelated base docs
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), 60)]
+        originals.append(toks)
+        rows.append((doc_id, " ".join(toks)))
+        doc_id += 1
+    # exact duplicates of docs 0..4
+    for i in range(5):
+        rows.append((doc_id, " ".join(originals[i])))
+        doc_id += 1
+    # near duplicates of docs 5..9: edit 3 of 60 tokens (~jaccard ≈ 0.85)
+    for i in range(5, 10):
+        toks = list(originals[i])
+        for j in (7, 23, 41):
+            toks[j] = vocab[int(rng.integers(0, len(vocab)))]
+        rows.append((doc_id, " ".join(toks)))
+        doc_id += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "plant"
+    df["n_chars"] = df["text"].str.len()
+    return df
+
+
+@pytest.fixture(scope="module")
+def plant_dir():
+    shutil.rmtree(PLANT_DIR, ignore_errors=True)
+    os.makedirs(PLANT_DIR)
+    _plant_docs().to_parquet(os.path.join(PLANT_DIR, "documents.parquet"), index=False)
+    yield PLANT_DIR
+
+
+def _pairs(df: pd.DataFrame) -> set[tuple[int, int]]:
+    return set(zip(df["doc_id_a"].astype(int), df["doc_id_b"].astype(int)))
+
+
+def test_exact_dedup_finds_planted(plant_dir):
+    from nfl_feature_store_ray.pipelines.dedup import q_dedup_exact
+
+    out = q_dedup_exact(plant_dir).to_pandas()
+    assert len(out) == 45  # 50 docs, 5 exact dup pairs collapsed
+    dups = out[out["n_copies"] > 1]
+    assert set(dups["doc_id"]) == {0, 1, 2, 3, 4}
+    assert (dups["n_copies"] == 2).all()
+
+
+def test_minhash_lsh_recall_and_precision(plant_dir):
+    from nfl_feature_store_ray.pipelines.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_ngram_jaccard,
+    )
+
+    exact = q_dedup_ngram_jaccard(plant_dir).to_pandas()
+    lsh = q_dedup_minhash_lsh(plant_dir)
+    lsh = lsh.to_pandas() if not isinstance(lsh, pd.DataFrame) else lsh
+
+    expected = {(i, 40 + i) for i in range(5)} | {(i, 40 + i) for i in range(5, 10)}
+    assert expected.issubset(_pairs(exact)), "exact jaccard must find planted pairs"
+    # verification step makes LSH precision exact; planted pairs are far
+    # above the 0.6 threshold so banding recall must catch them all
+    assert _pairs(lsh) == _pairs(exact)
+    j = dict(((a, b), v) for a, b, v in zip(exact["doc_id_a"], exact["doc_id_b"], exact["jaccard"]))
+    for i in range(5):
+        assert j[(i, 40 + i)] == 1.0
+
+
+def test_simhash_pairs_exact_dups(plant_dir):
+    from nfl_feature_store_ray.pipelines.dedup import q_dedup_simhash
+
+    out = q_dedup_simhash(plant_dir).to_pandas()
+    got = _pairs(out)
+    for i in range(5):  # exact dup ⇒ hamming 0 ⇒ must be found
+        assert (i, 40 + i) in got
+    ham0 = out[out["hamming"] == 0]
+    assert {(i, 40 + i) for i in range(5)}.issubset(_pairs(ham0))
+
+
+def test_ann_ivf_recall():
+    from nfl_feature_store_ray.pipelines.similarity import q_ann_cosine_topk, q_ann_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_ann_cosine_topk(sf)
+    approx = q_ann_ivf(sf)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall} too low"

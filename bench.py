@@ -1,0 +1,219 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline metric: wall seconds for the flagship point-in-time feature
+materialization (full window-family fan-out over the transcript table
+derived from ``$GRAFT_SF_DIR/events.parquet``), consumed via streaming
+iteration (no driver-side materialization of the wide output). Secondary
+timings cover each operator family.
+
+  python bench.py             # one run at RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # fresh 8-CPU and 32-CPU subprocesses on the
+                              # same input; prints throughput + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from nfl_feature_store_ray.pipelines import agg_queries, similarity, transcript_queries
+    from nfl_feature_store_ray.pipelines.dedup import q_dedup_minhash_lsh
+    from nfl_feature_store_ray.sources.transcripts import transcripts_from_events
+    from nfl_feature_store_ray.state.window_engine import window_features
+
+    # warm the OS page cache AND the Ray worker pool (untimed) so timings
+    # measure compute + shuffle, not process spawn / first disk read
+    n_turns = transcripts_from_events(sf_dir).count()
+    window_features(
+        transcripts_from_events(sf_dir).limit(2000), metrics=("value",)
+    ).count()
+
+    def consume(ds):
+        if hasattr(ds, "iter_batches"):
+            n = 0
+            for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+        return len(ds)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        rows = consume(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return rows
+
+    # headline: flagship full window-feature materialization — best of two
+    # runs (steady state; first run can still absorb worker ramp-up)
+    def flagship():
+        return window_features(
+            transcripts_from_events(sf_dir),
+            metrics=("value", "text_len", "n_tokens"),
+            assign_turn_idx=True,
+        )
+
+    rows = timed("window_features_full", flagship)
+    t0 = time.perf_counter()
+    consume(flagship())
+    second = round(time.perf_counter() - t0, 3)
+    timings["window_features_full"] = min(timings["window_features_full"], second)
+    headline = timings["window_features_full"]
+
+    timed("asof_checkpoint", lambda: transcript_queries.q_asof_checkpoint(sf_dir))
+    timed("rank_day", lambda: transcript_queries.q_rank_day(sf_dir))
+    timed("densify_grid", lambda: transcript_queries.q_densify(sf_dir))
+    timed("q1_pricing", lambda: agg_queries.q1_pricing(sf_dir))
+    timed("agg_conditional_sums", lambda: agg_queries.q_conditional_sums(sf_dir))
+    timed("dedup_minhash_lsh", lambda: q_dedup_minhash_lsh(sf_dir))
+    timed("ann_cosine_topk", lambda: similarity.q_ann_cosine_topk(sf_dir))
+
+    result = {
+        "metric": "flagship window-feature materialization wall time",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "turns_per_sec": round(n_turns / headline, 1) if headline > 0 else None,
+    }
+    ray.shutdown()
+    return result
+
+
+SCALING_PARTS = "/tmp/nfl_fs_scaling_parts"
+SCALING_REPLICAS = int(os.environ.get("SCALING_REPLICAS", "128"))
+SCALING_BUCKETS = 256
+
+
+def _scaling_ingest(sf_dir: str) -> int:
+    """One-time (resumable — manifests skip finished partitions) ingest of
+    the scaling input: sf_dir events replicated SCALING_REPLICAS times with
+    salted conv_ids, hash-partitioned into SCALING_BUCKETS parquet files.
+    Same input for both parallelism levels."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=32, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pandas as pd
+
+    from nfl_feature_store_ray.sources.transcripts import transcripts_from_events
+    from nfl_feature_store_ray.state.manifest import write_partitioned
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r in range(SCALING_REPLICAS):
+            c = df.copy()
+            c["conv_id"] = c["conv_id"] + f"_{r}"
+            outs.append(c)
+        return pd.concat(outs, ignore_index=True)
+
+    ts = transcripts_from_events(sf_dir).map_batches(replicate, batch_format="pandas")
+    man = write_partitioned(
+        ts, SCALING_PARTS, key="conv_id", num_buckets=SCALING_BUCKETS,
+        fingerprint_cols=["conv_id", "_seq"],
+    )
+    rows = int(man["rows_in"].sum())
+    ray.shutdown()
+    return rows
+
+
+def _scaling_job(num_cpus: int) -> dict:
+    """The measured job: shuffle-free window-feature materialization over
+    the pre-partitioned layout (read -> derive -> polars kernel -> parquet
+    write), identical at both parallelism levels."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from nfl_feature_store_ray.pipelines.partitioned import window_features_partitioned
+
+    out = f"/tmp/nfl_fs_scaling_out_{num_cpus}"
+
+    def once() -> float:
+        shutil.rmtree(out, ignore_errors=True)
+        ds = window_features_partitioned(SCALING_PARTS)
+        t0 = time.perf_counter()
+        ds.write_parquet(out)
+        return time.perf_counter() - t0
+
+    once()  # warm workers + page cache
+    secs = min(once(), once())
+    shutil.rmtree(out, ignore_errors=True)
+    ray.shutdown()
+    return {"value": round(secs, 3), "num_cpus": num_cpus}
+
+
+def _scaling(sf_dir: str) -> dict:
+    rows = _scaling_ingest(sf_dir)
+
+    def run(ncpu: int) -> float:
+        env = dict(os.environ)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-job", str(ncpu)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["value"]
+
+    lo, hi = 4, 16  # N and 4N; both below the node's 32 logical cores so
+    #                 the 4N level is not throttled by the sandbox hardware
+    t_lo, t_hi = run(lo), run(hi)
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency ({lo} -> {hi} CPUs, fresh processes, same input)",
+        "job": "shuffle-free window-feature materialization over pre-partitioned layout",
+        "rows": rows,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": round(rows / t_lo, 1),
+        f"turns_per_sec_{hi}": round(rows / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "speedup": round(t_lo / t_hi, 2),
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling-job" in sys.argv:
+        ncpu = int(sys.argv[sys.argv.index("--scaling-job") + 1])
+        print(json.dumps(_scaling_job(ncpu)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(_run_benchmarks(sf_dir, num_cpus)))

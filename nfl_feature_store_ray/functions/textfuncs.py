@@ -16,6 +16,7 @@ import hashlib
 import numpy as np
 
 _MERSENNE61 = (1 << 61) - 1
+_MERSENNE31 = (1 << 31) - 1
 
 
 def token_split(text: str) -> list[str]:
@@ -37,10 +38,19 @@ def hash64(s: str) -> int:
     return int.from_bytes(h, "little") % _MERSENNE61
 
 
+def hash31(s: str) -> int:
+    """Stable 31-bit shingle hash for MinHash (keeps (a*x+b) inside uint64).
+
+    ~1e5 distinct shingles -> a handful of birthday collisions, harmless
+    for an approximate sketch."""
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest()
+    return int.from_bytes(h, "little") % _MERSENNE31
+
+
 def minhash_params(num_perm: int = 128, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE61, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE61, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -49,28 +59,18 @@ def minhash_signature_matrix(
 ) -> np.ndarray:
     """Batch MinHash: one signature row per document.
 
-    Exact 61-bit modular arithmetic, vectorized as a (shingles x perms)
-    broadcast per document. Python-int math overflow is avoided by
-    splitting x into 30-bit halves (modmul decomposition); empty documents
-    get the sentinel signature p-1.
-
-    NOTE: a*hi and a*lo fit uint64 only if a < 2^33; params are drawn from
-    the full 61-bit range, so we reduce via object-free float-safe route:
-    use uint64 with Python-int fallback per overflow-free chunking below.
-    """
+    Fully vectorized uint64 arithmetic: a, b, x < 2^31 so a*x + b < 2^62
+    never overflows; one (shingles x perms) broadcast + column-min per
+    document. Empty documents get the sentinel signature p-1."""
     num_perm = len(a)
-    p = _MERSENNE61
-    out = np.full((len(hash_lists), num_perm), p - 1, dtype=np.uint64)
-    # object-dtype exact math on small matrices is fast enough (docs are
-    # small); per-doc cost is O(shingles * perms) bigint ops in numpy C loop
-    a_o = a.astype(object)
-    b_o = b.astype(object)
+    p = np.uint64(_MERSENNE31)
+    out = np.full((len(hash_lists), num_perm), _MERSENNE31 - 1, dtype=np.uint64)
     for d, hs in enumerate(hash_lists):
         if len(hs) == 0:
             continue
-        x = hs.astype(object)[:, None]  # (s, 1)
-        v = (a_o[None, :] * x + b_o[None, :]) % p  # (s, perms) exact
-        out[d] = np.array(v.min(axis=0), dtype=np.uint64)
+        x = hs.astype(np.uint64)[:, None]  # (s, 1)
+        v = (a[None, :] * x + b[None, :]) % p  # (s, perms)
+        out[d] = v.min(axis=0)
     return out
 
 

@@ -19,7 +19,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from nfl_feature_store_ray.sources.readers import read_table
-from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+from nfl_feature_store_ray.stages.bucketize import map_conv_buckets, tune_context
 
 
 def _round(df: pd.DataFrame, cols: list[str], nd: int = 4) -> pd.DataFrame:
@@ -32,6 +32,7 @@ def _round(df: pd.DataFrame, cols: list[str], nd: int = 4) -> pd.DataFrame:
 # A1 analogue: conditional sums per supplier over lineitem
 # ---------------------------------------------------------------------------
 def q_conditional_sums(sf_dir: str):
+    tune_context()
     li = read_table(
         sf_dir,
         "lineitem",
@@ -50,19 +51,16 @@ def q_conditional_sums(sf_dir: str):
         )
         return g
 
-    out = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby("l_suppkey")
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("ret_qty", alias_name="ret_qty"),
-            Sum("revenue", alias_name="revenue"),
-            Sum("n_items", alias_name="n_items"),
-        )
-    )
-    return out.map_batches(
-        lambda df: _round(df, ["sum_qty", "ret_qty", "revenue"]), batch_format="pandas"
-    )
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("l_suppkey", as_index=False)[
+            ["sum_qty", "ret_qty", "revenue", "n_items"]
+        ].sum()
+        g["n_items"] = g["n_items"].astype("int64")
+        return _round(g, ["sum_qty", "ret_qty", "revenue"])
+
+    # partials per batch, then ONE bucket shuffle keyed on l_suppkey
+    partials = li.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(partials, final, key="l_suppkey", sort_cols=["l_suppkey"])
 
 
 SQL_CONDITIONAL_SUMS = """
@@ -79,25 +77,22 @@ FROM lineitem GROUP BY l_suppkey
 # A2 analogue: deterministic mode (max count, ties -> smallest value)
 # ---------------------------------------------------------------------------
 def q_mode(sf_dir: str):
+    tune_context()
     li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_returnflag"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["l_suppkey", "l_returnflag"], as_index=False).size()
         return g.rename(columns={"size": "n"})
 
-    counts = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby(["l_suppkey", "l_returnflag"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
     def pick(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["n", "l_returnflag"], ascending=[False, True], kind="mergesort")
+        # finalize partial counts, then deterministic mode per supplier
+        g = group.groupby(["l_suppkey", "l_returnflag"], as_index=False)["n"].sum()
+        g = g.sort_values(["n", "l_returnflag"], ascending=[False, True], kind="mergesort")
         top = g.groupby("l_suppkey", as_index=False).first()
         return top.rename(columns={"l_returnflag": "mode_flag"})[["l_suppkey", "mode_flag"]]
 
-    # counts table is tiny (keys x 3 flags) — bucket it and pick per bucket
-    return map_conv_buckets(counts, pick, key="l_suppkey", sort_cols=["l_suppkey"])
+    partials = li.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(partials, pick, key="l_suppkey", sort_cols=["l_suppkey"])
 
 
 SQL_MODE = """
@@ -223,6 +218,7 @@ FROM events GROUP BY 1, 2
 # TPC-H Q1 (classic grouped aggregate; M4-style filter at the read)
 # ---------------------------------------------------------------------------
 def q1_pricing(sf_dir: str):
+    tune_context()
     li = read_table(
         sf_dir,
         "lineitem",
@@ -252,31 +248,27 @@ def q1_pricing(sf_dir: str):
             count_order=("count_order", "sum"),
         )
 
-    out = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("sum_charge", alias_name="sum_charge"),
-            Sum("sum_disc", alias_name="sum_disc"),
-            Sum("count_order", alias_name="count_order"),
-        )
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
         df["avg_qty"] = df["sum_qty"] / df["count_order"]
         df["avg_price"] = df["sum_base_price"] / df["count_order"]
         df["avg_disc"] = df["sum_disc"] / df["count_order"]
         df = df.drop(columns=["sum_disc"])
+        df["count_order"] = df["count_order"].astype("int64")
         return _round(
             df,
             ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
              "avg_qty", "avg_price", "avg_disc"],
         )
 
-    return out.map_batches(finish, batch_format="pandas")
+    partials = li.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials,
+        finish,
+        key=["l_returnflag", "l_linestatus"],
+        sort_cols=["l_returnflag", "l_linestatus"],
+        num_buckets=8,
+    )
 
 
 SQL_Q1_PRICING = """

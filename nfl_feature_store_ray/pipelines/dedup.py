@@ -85,22 +85,23 @@ def _explode_shingles(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _pairs_from_index(group: pd.DataFrame) -> pd.DataFrame:
-    """Self-join each shingle's posting list into candidate pair rows."""
-    outs = []
-    for _, g in group.groupby("sh", sort=False):
-        if len(g) < 2:
-            continue
-        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        outs.append(m[["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"]])
-    if not outs:
+    """Self-join the bucket's inverted index into candidate pair rows.
+
+    ONE vectorized hash self-join on the shingle column (not a Python loop
+    over posting lists); singleton shingles are dropped first, so join
+    fan-out is bounded by duplicate-shingle frequency."""
+    vc = group["sh"].value_counts()
+    hot = vc[vc >= 2].index
+    g = group[group["sh"].isin(hot)]
+    if len(g) == 0:
         return pd.DataFrame(
             {"doc_id_a": pd.Series(dtype="int64"), "doc_id_b": pd.Series(dtype="int64"),
              "n_sh_a": pd.Series(dtype="int64"), "n_sh_b": pd.Series(dtype="int64"),
              "shared": pd.Series(dtype="int64")}
         )
-    out = pd.concat(outs, ignore_index=True)
-    out = out.groupby(["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"], as_index=False).size()
+    m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    out = m.groupby(["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"], as_index=False).size()
     return out.rename(columns={"size": "shared"})
 
 
@@ -118,11 +119,19 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     pair_partials = map_conv_buckets(
         exploded, _pairs_from_index, key="sh", sort_cols=["sh", "doc_id"]
     )
-    pair_counts = pair_partials.groupby(
-        ["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"]
-    ).aggregate(Sum("shared", alias_name="shared"))
-    return pair_counts.map_batches(
-        lambda df: _finish_jaccard(df, JACCARD_T), batch_format="pandas"
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(
+            ["doc_id_a", "doc_id_b", "n_sh_a", "n_sh_b"], as_index=False
+        )["shared"].sum()
+        return _finish_jaccard(g, JACCARD_T)
+
+    return map_conv_buckets(
+        pair_partials,
+        finish,
+        key=["doc_id_a", "doc_id_b"],
+        sort_cols=["doc_id_a", "doc_id_b"],
+        num_buckets=32,
     )
 
 
@@ -159,7 +168,7 @@ class _MinHasher:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         hash_lists = [
-            np.array([tf.hash64(s) for s in tf.shingle_set(t, 3)], dtype=np.uint64)
+            np.array([tf.hash31(s) for s in tf.shingle_set(t, 3)], dtype=np.uint64)
             for t in df["text"]
         ]
         sigs = tf.minhash_signature_matrix(hash_lists, self.a, self.b)
@@ -203,14 +212,14 @@ def q_dedup_minhash_lsh(sf_dir: str):
             )
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
-    from ray.data.aggregate import Count
-
     cand = map_conv_buckets(banded, candidates, key="bk", sort_cols=["bk", "doc_id"])
-    cand = (
-        cand.groupby(["doc_id_a", "doc_id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )  # distinct pairs
+    cand = map_conv_buckets(  # distinct pairs, one bucket shuffle
+        cand,
+        lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+        key=["doc_id_a", "doc_id_b"],
+        sort_cols=["doc_id_a", "doc_id_b"],
+        num_buckets=16,
+    )
 
     # verification: join candidate pairs back to shingle sets and compute
     # exact Jaccard. Candidate set is small (near-dups only) — broadcast it.
@@ -296,14 +305,14 @@ def q_dedup_simhash(sf_dir: str):
             )
         return pd.concat(outs, ignore_index=True)
 
-    from ray.data.aggregate import Count
-
     cand = map_conv_buckets(exploded, pairs, key="seg_key", sort_cols=["seg_key", "doc_id"])
-    # a pair can be found via several segments — distinct
-    return (
-        cand.groupby(["doc_id_a", "doc_id_b", "hamming"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    # a pair can be found via several segments — distinct, one bucket shuffle
+    return map_conv_buckets(
+        cand,
+        lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
+        key=["doc_id_a", "doc_id_b"],
+        sort_cols=["doc_id_a", "doc_id_b"],
+        num_buckets=16,
     )
 
 

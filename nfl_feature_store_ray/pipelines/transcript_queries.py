@@ -27,7 +27,6 @@ from nfl_feature_store_ray.sources.transcripts import (
     transcripts_from_events,
 )
 from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
-from nfl_feature_store_ray.state.asof import asof_join
 from nfl_feature_store_ray.state.window_engine import window_features
 
 _T = f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
@@ -253,22 +252,22 @@ def q_rank_day(sf_dir: str):
             )
         )
 
-    # per-batch partial aggregation, then a small exact groupby
-    from ray.data.aggregate import Sum
+    def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
+        # whole days per bucket: final-sum the partials, then rank per day
+        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
+        d["day_value"] = np.round(d["day_value"], 6)
+        d = d.sort_values(
+            ["day", "day_value", "conv_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        d["day_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
+        return d
 
+    # per-batch partial aggregation, then ONE bucket shuffle on the day key
+    # (W9 needs all conversations' values per time bucket co-located)
     partials = ts.map_batches(day_partial, batch_format="pandas")
-    daily = partials.groupby(["day", "conv_id"]).aggregate(
-        Sum("day_value", alias_name="day_value")
+    return map_conv_buckets(
+        partials, bucket_rank, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
-
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["day_value"] = np.round(g["day_value"], 6)
-        g = g.sort_values(["day_value", "conv_id"], ascending=[False, True], kind="mergesort")
-        g["day_rank"] = np.arange(1, len(g) + 1, dtype="int32")
-        return g
-
-    return daily.groupby("day").map_groups(rank_group, batch_format="pandas")
 
 
 SQL_RANK_DAY = f"""{_T},
@@ -360,30 +359,34 @@ def q_asof_checkpoint(sf_dir: str):
     Checkpoints = every 10th turn of a conversation carrying the inclusive
     running mean of `value`; the as-of join is strict (ts' < ts), i.e. a
     turn landing exactly on a checkpoint sees the PREVIOUS one.
+
+    Both streams are per-conversation, so the whole operator is ONE bucket
+    shuffle: the sorted bucket derives the checkpoint stream and performs
+    the strict backward ``merge_asof`` in place (self-as-of). The generic
+    two-dataset ``state.asof.asof_join`` covers the cross-table case.
     """
-    feats = _features(sf_dir)
+    ts = transcripts_from_events(sf_dir)
 
-    def mk_ckpt(df: pd.DataFrame) -> pd.DataFrame:
-        cnt = df["turn_idx"].astype("float64")
-        incl = (df["avg_value"].fillna(0.0) * cnt + df["value"]) / (cnt + 1.0)
-        df = df.assign(ckpt_value=incl)
-        df = df[df["turn_idx"] % 10 == 0]
-        return df[["conv_id", "ts", "ckpt_value"]]
+    def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("conv_id", sort=False).cumcount().astype("float64")
+        incl = df["value"].astype("float64").groupby(df["conv_id"], sort=False).cumsum() / (
+            cnt + 1.0
+        )
+        df = df.assign(turn_idx=cnt.astype("int32"), ckpt_value=incl)
+        ck = df.loc[df["turn_idx"] % 10 == 0, ["conv_id", "ts", "ckpt_value"]]
+        turns = df[["conv_id", "turn_idx", "ts"]]
+        out = pd.merge_asof(
+            turns.sort_values(["ts", "conv_id"], kind="mergesort"),
+            ck.sort_values(["ts", "conv_id"], kind="mergesort"),
+            on="ts",
+            by="conv_id",
+            allow_exact_matches=False,
+            direction="backward",
+        )
+        out = out.rename(columns={"ckpt_value": "asof_ckpt"})
+        return _round6(out[["conv_id", "turn_idx", "asof_ckpt"]], ["asof_ckpt"])
 
-    ckpts = feats.map_batches(mk_ckpt, batch_format="pandas")
-    turns = feats.map_batches(
-        lambda df: df[["conv_id", "turn_idx", "ts"]], batch_format="pandas"
-    )
-    joined = asof_join(turns, ckpts, key="conv_id", on="ts", allow_exact_matches=False)
-    return joined.map_batches(
-        lambda df: _round6(
-            df[["conv_id", "turn_idx", "ckpt_value"]].rename(
-                columns={"ckpt_value": "asof_ckpt"}
-            ),
-            ["asof_ckpt"],
-        ),
-        batch_format="pandas",
-    )
+    return map_conv_buckets(ts, bucket_asof, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
 
 
 SQL_ASOF_CHECKPOINT = f"""{_T},

@@ -45,21 +45,37 @@ _HASH_KEY = "nfl_fs_partition"  # exactly 16 bytes, pinned for determinism
 
 BUCKET_COL = "_bucket"
 
+def tune_context() -> None:
+    """DataContext hook for the engine's shuffle pattern.
 
-def bucket_of(keys: pd.Series, num_buckets: int) -> pd.Series:
-    h = pd.util.hash_pandas_object(keys.astype(str), index=False, hash_key=_HASH_KEY)
+    Measured at sf0.1 (bench.py): the default pull-based sort shuffle beats
+    both push-based (catastrophic on multi-key aggregates: 13s -> 37s) and
+    hash-shuffle (actor setup dominates at this scale) for every pipeline
+    shape here, once warm. Kept as a no-op seam so a different strategy can
+    be pinned per deployment without touching call sites.
+    """
+
+
+def bucket_of(keys: pd.Series | pd.DataFrame, num_buckets: int) -> pd.Series:
+    if isinstance(keys, pd.DataFrame):
+        h = pd.util.hash_pandas_object(keys.astype(str), index=False, hash_key=_HASH_KEY)
+    else:
+        h = pd.util.hash_pandas_object(keys.astype(str), index=False, hash_key=_HASH_KEY)
     return (h % num_buckets).astype("int32")
 
 
 def with_bucket(
     ds: ray.data.Dataset,
-    key: str = "conv_id",
+    key: str | list[str] = "conv_id",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
-    """Append a deterministic ``_bucket`` partition column."""
+    """Append a deterministic ``_bucket`` partition column (single or
+    compound key)."""
+    tune_context()
 
     def add(batch: pd.DataFrame) -> pd.DataFrame:
-        batch[BUCKET_COL] = bucket_of(batch[key], num_buckets)
+        k = batch[key] if isinstance(key, str) else batch[list(key)]
+        batch[BUCKET_COL] = bucket_of(k, num_buckets)
         return batch
 
     return ds.map_batches(add, batch_format="pandas")
@@ -68,7 +84,7 @@ def with_bucket(
 def map_conv_buckets(
     ds: ray.data.Dataset,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    key: str = "conv_id",
+    key: str | list[str] = "conv_id",
     sort_cols: list[str] | None = None,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
@@ -78,11 +94,13 @@ def map_conv_buckets(
     by ``sort_cols`` (default ``[key, "ts"]`` + ``_seq``/``turn_idx`` tie
     columns when present), with the internal ``_bucket`` column removed.
     """
+    tune_context()
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         cols = sort_cols
         if cols is None:
-            cols = [key, "ts"]
+            cols = [key] if isinstance(key, str) else list(key)
+            cols += [c for c in ("ts",) if c in group.columns]
             for tie in ("turn_idx", "_seq"):
                 if tie in group.columns:
                     cols.append(tie)

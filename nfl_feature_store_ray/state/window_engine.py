@@ -201,6 +201,12 @@ def window_features(
         ds = derive_turn_columns(ds)
 
     def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        # pandas kernel here: shuffle blocks arrive as pandas, and the
+        # pandas->polars->pandas string conversions cost more than the
+        # polars kernel saves at bucket granularity (measured: 2.0s vs
+        # 5.5s flagship at sf0.1). The Arrow-native polars kernel
+        # (window_kernel_pl.kernel_arrow) is used by the zero-copy
+        # pre-partitioned path (pipelines.partitioned).
         return compute_bucket_windows(
             bucket,
             metrics=metrics,

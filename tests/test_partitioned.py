@@ -41,9 +41,11 @@ def test_partitioned_equals_shuffled():
     for c in b.columns:
         assert c in a.columns, c
         if b[c].dtype.kind in "fc":
+            # polars vs pandas kernels: same semantics, different summation
+            # order -> FIXTURES.md parity contract (allclose), not bit-exact
             np.testing.assert_allclose(
                 a[c].to_numpy(float), b[c].to_numpy(float),
-                rtol=0, atol=0, equal_nan=True, err_msg=c,
+                rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=c,
             )
         else:
             assert (

@@ -68,14 +68,24 @@ def with_bucket(
     ds: ray.data.Dataset,
     key: str | list[str] = "conv_id",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    heavy_keys: dict | None = None,
 ) -> ray.data.Dataset:
     """Append a deterministic ``_bucket`` partition column (single or
-    compound key)."""
+    compound key).
+
+    ``heavy_keys`` (state.skew.detect_heavy_keys output) maps hot keys to
+    dense indices; each gets a DEDICATED bucket past the hash range
+    (num_buckets + i) so a hot conversation never straggles the other
+    keys hashed into its bucket."""
     tune_context()
 
     def add(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch[key] if isinstance(key, str) else batch[list(key)]
-        batch[BUCKET_COL] = bucket_of(k, num_buckets)
+        b = bucket_of(k, num_buckets)
+        if heavy_keys and isinstance(key, str):
+            hot = batch[key].map(heavy_keys)
+            b = b.where(hot.isna(), (hot + num_buckets)).astype("int32")
+        batch[BUCKET_COL] = b
         return batch
 
     return ds.map_batches(add, batch_format="pandas")
@@ -87,6 +97,7 @@ def map_conv_buckets(
     key: str | list[str] = "conv_id",
     sort_cols: list[str] | None = None,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    heavy_keys: dict | None = None,
 ) -> ray.data.Dataset:
     """Hash-partition on ``key``; run ``fn`` once per sorted bucket.
 
@@ -108,7 +119,7 @@ def map_conv_buckets(
         g = g.drop(columns=[BUCKET_COL])
         return fn(g)
 
-    bucketed = with_bucket(ds, key=key, num_buckets=num_buckets)
+    bucketed = with_bucket(ds, key=key, num_buckets=num_buckets, heavy_keys=heavy_keys)
     return bucketed.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
 
 

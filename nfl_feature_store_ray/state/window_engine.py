@@ -195,8 +195,12 @@ def window_features(
     assign_turn_idx: bool = False,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     derive: bool = True,
+    heavy_keys: dict | None = None,
 ) -> ray.data.Dataset:
-    """Distributed window engine: derive -> bucket shuffle -> per-bucket scan."""
+    """Distributed window engine: derive -> bucket shuffle -> per-bucket scan.
+
+    ``heavy_keys`` (from ``state.skew.detect_heavy_keys``): hot
+    conversations get dedicated buckets (explicit skew salting)."""
     if derive:
         ds = derive_turn_columns(ds)
 
@@ -214,4 +218,6 @@ def window_features(
             assign_turn_idx=assign_turn_idx,
         )
 
-    return map_conv_buckets(ds, fn, key="conv_id", num_buckets=num_buckets)
+    return map_conv_buckets(
+        ds, fn, key="conv_id", num_buckets=num_buckets, heavy_keys=heavy_keys
+    )

@@ -147,15 +147,15 @@ def q_star_outer(sf_dir: str):
         # NaN-preserving sum (pandas min_count=1): an all-null column for a
         # key (key absent from that branch) stays null, matching FULL OUTER
         g = group.groupby("o_custkey", as_index=False)[cols].sum(min_count=1)
-        for c in cols:
-            if c != "urgent_total":  # exempt column keeps nulls
-                g[c] = g[c].fillna(0.0)
         for c in ("open_n", "fin_n", "urgent_n"):
-            g[c] = g[c].astype("int64")
-        g["urgent_n"] = g["urgent_n"].astype("int64")
+            g[c] = g[c].fillna(0.0).astype("int64")
         return _round(g, ["open_total", "fin_total", "urgent_total"])
 
-    return map_conv_buckets(partials, merge, key="o_custkey", sort_cols=["o_custkey"])
+    merged = map_conv_buckets(partials, merge, key="o_custkey", sort_cols=["o_custkey"])
+    # the named fill policy (M11): fill 0 except the exempt list
+    from nfl_feature_store_ray.stages.fill import fill_zero_except
+
+    return fill_zero_except(merged, exempt=("urgent_total",), key_cols=("o_custkey",))
 
 
 SQL_STAR_OUTER = """

@@ -20,7 +20,14 @@ def _merge(*modules):
 
 def all_queries():
     modules = [transcript_queries]
-    for name in ("agg_queries", "dedup", "text_analysis", "similarity", "join_queries"):
+    for name in (
+        "agg_queries",
+        "dedup",
+        "text_analysis",
+        "similarity",
+        "join_queries",
+        "parse_queries",
+    ):
         try:
             mod = __import__(f"nfl_feature_store_ray.pipelines.{name}", fromlist=[name])
             modules.append(mod)

@@ -81,6 +81,29 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings["window_features_full"] = min(timings["window_features_full"], second)
     headline = timings["window_features_full"]
 
+    # the at-scale path: partitioned layout (ingest untimed + resumable),
+    # then the shuffle-free window job
+    import shutil
+
+    from nfl_feature_store_ray.pipelines.partitioned import (
+        ingest_partitioned,
+        window_features_partitioned,
+    )
+
+    part_dir = "/tmp/nfl_fs_bench_parts"
+    ingest_partitioned(
+        transcripts_from_events(sf_dir), part_dir, num_buckets=64,
+        fingerprint_cols=["conv_id", "_seq"],
+    )
+    out_dir = "/tmp/nfl_fs_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    window_features_partitioned(
+        part_dir, metrics=("value", "text_len", "n_tokens")
+    ).write_parquet(out_dir)
+    timings["window_features_partitioned"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     timed("asof_checkpoint", lambda: transcript_queries.q_asof_checkpoint(sf_dir))
     timed("rank_day", lambda: transcript_queries.q_rank_day(sf_dir))
     timed("densify_grid", lambda: transcript_queries.q_densify(sf_dir))

@@ -68,6 +68,14 @@ def compute_bucket_windows(
     g = df.groupby(conv, sort=False)
     cumcount = g.cumcount()
 
+    # generator/engine invariant (FIXTURES.md F1): (conv_id, turn_idx)
+    # must be unique — duplicates mean a corrupt or double-ingested input
+    if "turn_idx" in df.columns and not assign_turn_idx:
+        dup = df.duplicated(["conv_id", "turn_idx"])
+        if dup.any():
+            bad = df.loc[dup, ["conv_id", "turn_idx"]].head(3).to_dict("records")
+            raise ValueError(f"duplicate (conv_id, turn_idx) rows in input, e.g. {bad}")
+
     if assign_turn_idx:
         df["turn_idx"] = cumcount.astype("int32")
 

@@ -1,0 +1,79 @@
+"""Engineered edge cases: ts ties (turn_idx tie-break determinism),
+duplicate-key assertion, empty-text metrics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nfl_feature_store_ray.state.window_engine import window_features
+from tests.oracle import assert_feature_parity, oracle_windows
+
+
+def _tie_table() -> pa.Table:
+    # one conversation where three consecutive turns share the SAME ts —
+    # ordering must fall back to turn_idx deterministically
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    rows = []
+    spec = [
+        ("c1", 0, "user", base, 10.0),
+        ("c1", 1, "assistant", base + pd.Timedelta(seconds=5), 20.0),
+        ("c1", 2, "tool", base + pd.Timedelta(seconds=5), 30.0),  # tie
+        ("c1", 3, "user", base + pd.Timedelta(seconds=5), 40.0),  # tie
+        ("c1", 4, "assistant", base + pd.Timedelta(hours=30), 50.0),  # session split
+        ("c2", 0, "user", base, 7.0),
+    ]
+    for conv, idx, role, ts, v in spec:
+        rows.append(
+            {
+                "conv_id": conv,
+                "turn_idx": np.int32(idx),
+                "role": role,
+                "text": f"t{idx}",
+                "tool": "search" if role == "tool" else None,
+                "ts": ts,
+                "value": v,
+            }
+        )
+    df = pd.DataFrame(rows).iloc[::-1]  # reversed physical order
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def test_ts_ties_break_on_turn_idx():
+    tbl = _tie_table()
+    out = (
+        window_features(rd.from_arrow(tbl), metrics=("value",), num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    c1 = out[out.conv_id == "c1"].reset_index(drop=True)
+    # last_value must follow turn order even across the ts tie
+    np.testing.assert_allclose(
+        c1["last_value"].to_numpy(), [np.nan, 10.0, 20.0, 30.0, 40.0], equal_nan=True
+    )
+    # session split at the 30h gap
+    assert list(c1["session_id"]) == [0, 0, 0, 0, 1]
+    # row 0 of session 1 carries session 0's final expanding value (mean of 10..40)
+    assert abs(c1.loc[4, "session_avg_value"] - 25.0) < 1e-12
+
+    df = tbl.to_pandas()
+    df["text_len"] = df["text"].str.len()
+    assert_feature_parity(out, oracle_windows(df, metrics=("value",)))
+
+
+def test_duplicate_turn_idx_rejected():
+    tbl = _tie_table().to_pandas()
+    dup = pd.concat([tbl, tbl.iloc[[0]]], ignore_index=True)
+    ds = rd.from_arrow(pa.Table.from_pandas(dup, preserve_index=False))
+    with pytest.raises(Exception, match="duplicate"):
+        window_features(ds, metrics=("value",), num_buckets=2).to_pandas()
+
+
+def test_empty_text_metrics():
+    tbl = _tie_table().to_pandas()
+    tbl.loc[:, "text"] = ""
+    ds = rd.from_arrow(pa.Table.from_pandas(tbl, preserve_index=False))
+    out = window_features(ds, metrics=("text_len", "n_tokens")).to_pandas()
+    assert (out["text_len"] == 0).all() and (out["n_tokens"] == 0).all()

@@ -64,6 +64,45 @@ def partition_files(part_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(part_dir, "part-*.parquet")))
 
 
+def sort_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Ingest transform: persist partitions pre-sorted by (conv_id, ts,
+    tie) so downstream jobs (incl. the streaming actor) skip the sort."""
+    cols = ["conv_id", "ts"] + [t for t in ("turn_idx", "_seq") if t in df.columns]
+    return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def window_features_streaming(
+    part_dir: str,
+    metrics: tuple[str, ...] = ("value", "text_len", "n_tokens"),
+    concurrency: int = 4,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Incremental streaming window job over a SORTED partitioned layout.
+
+    Actor pool holding per-conversation carry state + monotonic-ts
+    watermarks (`state.streaming.StreamingWindowActor`); processes each
+    partition block as an ordered sequence of batches in bounded memory —
+    the path for conversations larger than a worker's heap.
+    """
+    from nfl_feature_store_ray.stages.derive import derive_turn_columns
+    from nfl_feature_store_ray.state.streaming import StreamingWindowActor
+
+    paths = partition_files(part_dir)
+    if not paths:
+        raise FileNotFoundError(f"no part-*.parquet under {part_dir}")
+    ds = ray.data.read_parquet(paths, override_num_blocks=len(paths))
+    ds = derive_turn_columns(ds)
+    # autoscaling pool (min 1): a fixed pool sized to every CPU would
+    # starve the read stage and deadlock on small clusters
+    return ds.map_batches(
+        StreamingWindowActor,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"metrics": metrics},
+    )
+
+
 def window_features_partitioned(
     part_dir: str,
     metrics: tuple[str, ...] = ("value", "text_len", "n_tokens"),

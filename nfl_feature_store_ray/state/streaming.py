@@ -1,0 +1,292 @@
+"""Incremental streaming window engine — actor pool with carry state.
+
+The batch engine (`window_engine`) computes each conversation's windows in
+one vectorized scan over a whole bucket. This module is the STREAMING
+variant the north rule describes: a stateful actor pool where each actor
+holds, per conversation,
+
+  - a bounded RAW TAIL (the last max(FORM_WINDOW, COVER_WINDOW) rows) for
+    the ring-buffer families (lag-1, rolling-3, rolling-10 indicator),
+  - O(1) REGISTERS for the unbounded families (expanding sum/count, EWMA
+    register, per-role counters, tool positions, session aggregates with
+    carryover seed),
+  - a MONOTONIC-TIMESTAMP WATERMARK (asserted per conversation: a batch
+    whose first ts precedes the watermark is rejected — out-of-order
+    delivery would corrupt prefix state).
+
+Each `__call__` consumes one sorted batch (whole-conversation order is the
+partition layout's contract: batches of one partition block arrive in
+order within a single map task), updates state, and emits exactly one
+feature row per input row. Because state is O(tail + registers) per
+conversation, a conversation LARGER THAN WORKER MEMORY streams through in
+bounded space — the "two-pass prefix chaining" answer for hot
+conversations (SURVEY §7.3).
+
+Equivalence with the batch engine is enforced by tests for every batch
+size (1 row per batch up to whole-partition batches).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from nfl_feature_store_ray.schemas import (
+    COVER_WINDOW,
+    EWMA_ALPHA,
+    FORM_WINDOW,
+    SESSION_GAP_S,
+)
+
+_TAIL = max(FORM_WINDOW, COVER_WINDOW)
+
+
+@dataclass
+class _MetricState:
+    tail: list = field(default_factory=list)  # last <= _TAIL raw values
+    total: float = 0.0  # expanding sum
+    count: int = 0  # expanding count
+    ewma: float | None = None
+    # session-seeded expanding registers
+    sess_sum: float = 0.0
+    sess_cnt: int = 0
+    sess_last: float | None = None
+    seed: float | None = None  # last raw value of the PRIOR session
+    prev_final: float | None = None  # prior session's final expanding value
+    first_session: bool = True
+
+
+@dataclass
+class _ConvState:
+    turns: int = 0
+    prev_ts: pd.Timestamp | None = None
+    session_id: int = 0
+    sess_turn: int = 0
+    n_role: dict = field(default_factory=lambda: {"user": 0, "assistant": 0, "tool": 0})
+    last_tool_pos: int | None = None
+    last_tool_ts: pd.Timestamp | None = None
+    tool_ring: list = field(default_factory=list)  # last <= COVER_WINDOW 0/1
+    watermark: pd.Timestamp | None = None
+    metrics: dict = field(default_factory=dict)  # name -> _MetricState
+
+
+class StreamingWindowActor:
+    """map_batches callable class (actor pool): incremental window state.
+
+    Batches MUST be sorted by (conv_id, ts, tie) and delivered in order
+    per conversation (guaranteed when reading the sorted partitioned
+    layout: one partition block per task, batches in block order).
+    """
+
+    def __init__(
+        self,
+        metrics: tuple[str, ...] = ("value",),
+        session_gap_s: int = SESSION_GAP_S,
+    ):
+        self.metric_names = metrics
+        self.gap = session_gap_s
+        self.state: dict[str, _ConvState] = {}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for conv_id, g in df.groupby("conv_id", sort=False):
+            outs.append(self._run_conv(conv_id, g))
+        return pd.concat(outs, ignore_index=True) if outs else df
+
+    # ------------------------------------------------------------------
+    def _run_conv(self, conv_id: str, g: pd.DataFrame) -> pd.DataFrame:
+        s = self.state.setdefault(conv_id, _ConvState())
+        n = len(g)
+        ts = g["ts"].to_numpy()
+        if s.watermark is not None and ts[0] < np.datetime64(s.watermark):
+            raise ValueError(
+                f"watermark violation for conv {conv_id}: batch starts at "
+                f"{ts[0]} before watermark {s.watermark}"
+            )
+
+        out = {
+            "conv_id": g["conv_id"].to_numpy(),
+            "ts": g["ts"].to_numpy(),
+            "turn_idx": (s.turns + np.arange(n)).astype("int32"),
+        }
+        role = g["role"].to_numpy()
+        is_tool = role == "tool"
+
+        # --- gap + sessions (scalar prefix logic, vectorized per segment)
+        ts_s = ts.astype("datetime64[us]").astype("int64") / 1e6
+        prev = np.empty(n)
+        prev[1:] = ts_s[:-1]
+        prev[0] = (
+            np.nan
+            if s.prev_ts is None
+            else np.datetime64(s.prev_ts, "us").astype("int64") / 1e6
+        )
+        gap = ts_s - prev
+        out["gap_s"] = gap
+        brk = np.nan_to_num(gap, nan=0.0) > self.gap
+        sess_ids = s.session_id + np.cumsum(brk).astype("int64")
+        out["session_id"] = sess_ids.astype("int32")
+        # session_turn_idx: continue counter until first break, then reset
+        sti = np.empty(n, dtype="int64")
+        seg_start = 0
+        cur = s.sess_turn
+        break_positions = list(np.flatnonzero(brk)) + [n]
+        for bp in break_positions:
+            ln = bp - seg_start
+            if ln > 0:
+                sti[seg_start:bp] = cur + np.arange(ln)
+            if bp < n:
+                cur = 0
+                seg_start = bp
+        out["session_turn_idx"] = sti.astype("int32")
+
+        # --- per-role prior counts
+        for r in ("user", "assistant", "tool"):
+            oh = (role == r).astype("int64")
+            out[f"n_prior_{r}"] = s.n_role[r] + np.cumsum(oh) - oh
+
+        # --- tool lags
+        pos = s.turns + np.arange(n)
+        tool_pos = np.where(is_tool, pos, -1)
+        prev_tool = np.empty(n, dtype="float64")
+        run = -1.0 if s.last_tool_pos is None else float(s.last_tool_pos)
+        for i in range(n):  # tiny scalar scan; could be vectorized via ffill
+            prev_tool[i] = run
+            if tool_pos[i] >= 0:
+                run = float(tool_pos[i])
+        out["turns_since_tool"] = np.where(prev_tool >= 0, pos - prev_tool, np.nan)
+        tool_ts = np.where(is_tool, ts_s, np.nan)
+        prev_tool_ts = np.empty(n)
+        run_ts = (
+            np.nan
+            if s.last_tool_ts is None
+            else np.datetime64(s.last_tool_ts, "us").astype("int64") / 1e6
+        )
+        for i in range(n):
+            prev_tool_ts[i] = run_ts
+            if not np.isnan(tool_ts[i]):
+                run_ts = tool_ts[i]
+        out["secs_since_tool"] = ts_s - prev_tool_ts
+
+        # --- rolling tool rate (ring carry: prepend tail flags)
+        flags = np.concatenate([np.asarray(s.tool_ring, dtype="float64"), is_tool.astype("float64")])
+        k = len(s.tool_ring)
+        out["roll10_tool_rate"] = _rolling_shifted_with_prefix(
+            flags, k, n, COVER_WINDOW, s.turns
+        )
+
+        # --- metric families
+        for m in self.metric_names:
+            x = g[m].to_numpy(dtype="float64")
+            ms = s.metrics.setdefault(m, _MetricState())
+
+            tail = np.asarray(ms.tail, dtype="float64")
+            allv = np.concatenate([tail, x])
+            kt = len(tail)
+            # lag-1: prior value is allv[kt+i-1]; first-ever turn -> NaN
+            lastv = np.full(n, np.nan)
+            idx = kt + np.arange(n) - 1
+            ok = (s.turns + np.arange(n)) > 0
+            lastv[ok] = allv[idx[ok]]
+            out[f"last_{m}"] = lastv
+
+            out[f"form_{m}"] = _rolling_shifted_with_prefix(
+                allv, kt, n, FORM_WINDOW, s.turns
+            )
+
+            # expanding (register offset)
+            cs = np.cumsum(x)
+            prior_sum = ms.total + cs - x
+            prior_cnt = ms.count + np.arange(n, dtype="float64")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[f"avg_{m}"] = np.where(prior_cnt > 0, prior_sum / prior_cnt, np.nan)
+
+            # EWMA (register carry, recursive scan per batch)
+            e = np.empty(n)
+            reg = ms.ewma
+            for i in range(n):
+                e[i] = np.nan if reg is None else reg
+                reg = x[i] if reg is None else (1 - EWMA_ALPHA) * reg + EWMA_ALPHA * x[i]
+            ms.ewma = reg
+            out[f"ewma_{m}"] = e
+
+            # session-seeded expanding (segment loop; breaks are rare)
+            sa = np.empty(n)
+            seg_start = 0
+            for bp in break_positions:
+                if bp > seg_start:
+                    seg = slice(seg_start, bp)
+                    xs = x[seg]
+                    cs_in = ms.sess_sum + np.cumsum(xs) - xs
+                    cnt_in = ms.sess_cnt + np.arange(bp - seg_start, dtype="float64")
+                    if ms.first_session:
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            sa[seg] = np.where(cnt_in > 0, cs_in / np.maximum(cnt_in, 1), np.nan)
+                    else:
+                        base = (ms.seed + cs_in) / (1.0 + cnt_in)
+                        sa[seg] = np.where(
+                            cnt_in > 0,
+                            base,
+                            np.nan if ms.prev_final is None else ms.prev_final,
+                        )
+                    ms.sess_sum += float(np.sum(xs))
+                    ms.sess_cnt += len(xs)
+                    ms.sess_last = float(xs[-1])
+                if bp < n:  # close the session at the break
+                    if ms.first_session:
+                        ms.prev_final = (
+                            ms.sess_sum / ms.sess_cnt if ms.sess_cnt else None
+                        )
+                    else:
+                        ms.prev_final = (ms.seed + ms.sess_sum) / (1.0 + ms.sess_cnt)
+                    ms.seed = ms.sess_last
+                    ms.first_session = False
+                    ms.sess_sum = 0.0
+                    ms.sess_cnt = 0
+                    seg_start = bp
+            out[f"session_avg_{m}"] = sa
+
+            # update registers + tail
+            ms.total += float(np.sum(x))
+            ms.count += n
+            ms.tail = list(allv[-_TAIL:])
+
+        # --- commit conv-level state
+        s.turns += n
+        s.prev_ts = pd.Timestamp(ts[-1])
+        s.watermark = pd.Timestamp(ts[-1])
+        s.session_id = int(sess_ids[-1])
+        s.sess_turn = int(sti[-1]) + 1
+        for r in ("user", "assistant", "tool"):
+            s.n_role[r] += int(np.sum(role == r))
+        tool_idx = np.flatnonzero(is_tool)
+        if len(tool_idx):
+            s.last_tool_pos = int(pos[tool_idx[-1]])
+            s.last_tool_ts = pd.Timestamp(ts[tool_idx[-1]])
+        s.tool_ring = list(
+            np.concatenate([np.asarray(s.tool_ring, dtype="float64"), is_tool.astype("float64")])[
+                -COVER_WINDOW:
+            ]
+        )
+        return pd.DataFrame(out)
+
+
+def _rolling_shifted_with_prefix(
+    allv: np.ndarray, prefix_len: int, n: int, window: int, turns_before: int
+) -> np.ndarray:
+    """mean of up to `window` strictly-prior values, where `allv` holds
+    prefix_len carried tail values followed by the n batch values, and the
+    conversation already saw `turns_before` rows total."""
+    cs = np.concatenate([[0.0], np.cumsum(allv)])
+    out = np.empty(n)
+    for_i = np.arange(n)
+    glob = turns_before + for_i  # global position of each batch row
+    hi = prefix_len + for_i  # allv index one past the last prior value
+    avail = np.minimum(glob, window)  # how many prior values the window has
+    # the tail always contains >= min(glob, _TAIL) >= avail values
+    lo = hi - avail
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(avail > 0, (cs[hi] - cs[lo]) / np.maximum(avail, 1), np.nan)
+    return out

@@ -401,7 +401,67 @@ FROM f ASOF LEFT JOIN ck ON f.conv_id = ck.conv_id AND f.ts > ck.ts
 """
 
 
+def q_rank_composite(sf_dir: str):
+    """A12's full rank semantics (SURVEY §0 probe 7): per day, ascending
+    rank for a lower-is-better metric (error-turn count), descending for a
+    higher-is-better one (value sum), plus the composite = rank of the
+    mean of sub-ranks, re-ranked — ties pinned by conv_id everywhere."""
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.floor("D")
+        df["n_err"] = (df["role"] == "tool").astype("int64")
+        return df.groupby(["day", "conv_id"], as_index=False).agg(
+            day_value=("value", "sum"), n_err=("n_err", "sum")
+        )
+
+    def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False).sum()
+        d["day_value"] = np.round(d["day_value"], 6)
+        d["n_err"] = d["n_err"].astype("int64")
+        # value: higher is better (desc); errors: lower is better (asc)
+        d = d.sort_values(["day", "day_value", "conv_id"], ascending=[True, False, True],
+                          kind="mergesort")
+        d["value_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
+        d = d.sort_values(["day", "n_err", "conv_id"], ascending=[True, True, True],
+                          kind="mergesort")
+        d["err_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
+        d["_mean_rank"] = (d["value_rank"] + d["err_rank"]) / 2.0
+        d = d.sort_values(["day", "_mean_rank", "conv_id"], ascending=[True, True, True],
+                          kind="mergesort")
+        d["net_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
+        return d.drop(columns=["_mean_rank"]).sort_values(["day", "conv_id"]).reset_index(drop=True)
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, bucket_rank, key="day", sort_cols=["day", "conv_id"], num_buckets=32
+    )
+
+
+SQL_RANK_COMPOSITE = f"""{_T},
+daily AS (
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         ROUND(SUM(value), 6) AS day_value,
+         SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_err
+  FROM t GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY day_value DESC, conv_id ASC) AS INTEGER)
+      AS value_rank,
+    CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY n_err ASC, conv_id ASC) AS INTEGER)
+      AS err_rank
+  FROM daily
+)
+SELECT day, conv_id, day_value, n_err, value_rank, err_rank,
+  CAST(ROW_NUMBER() OVER (PARTITION BY day
+       ORDER BY (value_rank + err_rank) / 2.0 ASC, conv_id ASC) AS INTEGER) AS net_rank
+FROM r
+"""
+
+
 QUERIES = {
+    "w_rank_composite": q_rank_composite,
     "w_lag_gap": q_lag_gap,
     "w_rolling": q_rolling,
     "w_expanding": q_expanding,
@@ -415,6 +475,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w_rank_composite": SQL_RANK_COMPOSITE,
     "w_lag_gap": SQL_LAG_GAP,
     "w_rolling": SQL_ROLLING,
     "w_expanding": SQL_EXPANDING,

@@ -212,20 +212,26 @@ def window_features(
     if derive:
         ds = derive_turn_columns(ds)
 
-    def fn(bucket: pd.DataFrame) -> pd.DataFrame:
-        # pandas kernel here: shuffle blocks arrive as pandas, and the
-        # pandas->polars->pandas string conversions cost more than the
-        # polars kernel saves at bucket granularity (measured: 2.0s vs
-        # 5.5s flagship at sf0.1). The Arrow-native polars kernel
-        # (window_kernel_pl.kernel_arrow) is used by the zero-copy
-        # pre-partitioned path (pipelines.partitioned).
-        return compute_bucket_windows(
-            bucket,
+    # Arrow spine: bucket column added on pandas batches (cheap), but the
+    # shuffled groups flow into the kernel as zero-copy Arrow tables ->
+    # polars, skipping the pandas block materialization (~20% faster than
+    # the pandas spine at sf0.1; the pandas kernel below remains the
+    # readable reference implementation, kept in parity by tests).
+    import pyarrow as pa
+
+    from nfl_feature_store_ray.stages.bucketize import BUCKET_COL, with_bucket
+    from nfl_feature_store_ray.state.window_kernel_pl import kernel_arrow
+
+    bucketed = with_bucket(ds, key="conv_id", num_buckets=num_buckets, heavy_keys=heavy_keys)
+
+    def kern(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns([BUCKET_COL])
+        return kernel_arrow(
+            tbl,
             metrics=metrics,
             session_gap_s=session_gap_s,
             assign_turn_idx=assign_turn_idx,
+            sort=True,
         )
 
-    return map_conv_buckets(
-        ds, fn, key="conv_id", num_buckets=num_buckets, heavy_keys=heavy_keys
-    )
+    return bucketed.groupby(BUCKET_COL).map_groups(kern, batch_format="pyarrow")

@@ -53,6 +53,11 @@ def kernel_arrow(
         tie = tie_col or next((t for t in ("turn_idx", "_seq") if t in lf.columns), None)
         keys = ["conv_id", "ts"] + ([tie] if tie else [])
         lf = lf.sort(keys)
+    if "turn_idx" in lf.columns and not assign_turn_idx:
+        # engine invariant (FIXTURES.md F1): (conv_id, turn_idx) unique
+        n_dup = lf.select(pl.struct(["conv_id", "turn_idx"]).is_duplicated().sum()).item()
+        if n_dup:
+            raise ValueError(f"duplicate (conv_id, turn_idx) rows in input: {n_dup}")
     out = _apply_window_exprs(
         pl, lf, metrics, session_gap_s, assign_turn_idx, FORM_WINDOW, COVER_WINDOW, EWMA_SPAN
     )

@@ -24,6 +24,13 @@ conversations (SURVEY §7.3).
 
 Equivalence with the batch engine is enforced by tests for every batch
 size (1 row per batch up to whole-partition batches).
+
+Failure semantics: conversations never span blocks (the partition layout
+guarantees it), so a task retry on a FRESH actor replays its block
+correctly from empty state. A retry routed to an actor that already holds
+partial state for the block's conversations trips the watermark check and
+fails loudly — correctness over availability; rerun the job (manifests
+make that cheap) rather than risk silently corrupted prefix state.
 """
 
 from __future__ import annotations

@@ -34,6 +34,7 @@ _W = "PARTITION BY conv_id ORDER BY ts, _seq"
 
 
 def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    df = df.copy()  # callers pass column slices; don't mutate views
     for c in cols:
         df[c] = np.round(df[c].astype("float64"), 6)
     return df

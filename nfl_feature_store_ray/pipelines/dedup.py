@@ -189,7 +189,7 @@ class _MinHasher:
 
 def q_dedup_minhash_lsh(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    banded = docs.map_batches(_MinHasher, batch_format="pandas", concurrency=2)
+    banded = docs.map_batches(_MinHasher, batch_format="pandas", concurrency=(1, 4))
 
     def add_bandkey(df: pd.DataFrame) -> pd.DataFrame:
         df["bk"] = df["band"].astype("int64") * (1 << 40) ^ df["key"]

@@ -63,7 +63,7 @@ def q_join_enrich(sf_dir: str):
             )
             return g
 
-    partials = orders.map_batches(Enrich, batch_format="pandas", concurrency=2)
+    partials = orders.map_batches(Enrich, batch_format="pandas", concurrency=(1, 4))
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("n_name", as_index=False).sum()

@@ -142,4 +142,4 @@ class FrameSampler:
 
 
 def sample_frames(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return ds.map_batches(FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2)
+    return ds.map_batches(FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4))

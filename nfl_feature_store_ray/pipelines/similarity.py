@@ -91,7 +91,7 @@ def q_ann_cosine_topk(sf_dir: str):
     partials = emb.map_batches(
         _BatchTopK,
         batch_format="pandas",
-        concurrency=2,
+        concurrency=(1, 4),
         fn_constructor_args=(qids_ref, qmat_ref, TOP_K),
     )
     # partials: <= nq * k rows per batch — tiny final reduce on the driver
@@ -183,7 +183,7 @@ def q_ann_ivf(sf_dir: str):
             )
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    partials = emb.map_batches(IvfTopK, batch_format="pandas", concurrency=2)
+    partials = emb.map_batches(IvfTopK, batch_format="pandas", concurrency=(1, 4))
     return _final_topk(partials.to_pandas(), TOP_K)
 
 

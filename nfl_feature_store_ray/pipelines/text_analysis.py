@@ -90,7 +90,7 @@ class LangId:
 
 def q_lang_id(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
 
 
 def _score_sql(lang: str) -> str:

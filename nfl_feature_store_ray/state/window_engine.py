@@ -25,6 +25,13 @@ empirically, probes 1-5) transplanted to the transcript domain (§7.0):
 (ts, tie) strictly earlier — the zero-temporal-leakage contract
 (BASELINE.json north_rule), enforced by tests/test_leakage.py.
 
+Null contract: metric columns are expected non-null at window time —
+nullable metrics go through ``stages.fill.fill_zero_except`` first (the
+reference fills before windowing too, M11). Exempt metrics keep NaN and
+get NaN-PROPAGATING windows: an all-null metric yields all-null features
+(tests/test_edge_cases.py); mixed-null skip-semantics are deliberately
+NOT implemented — fill first.
+
 Execution shape: one hash-bucket shuffle (stages.bucketize), then ONE
 vectorized pandas scan per bucket computing every family. Rolling sums use
 the cumsum-difference trick (two group-shifts per window) instead of

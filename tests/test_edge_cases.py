@@ -77,3 +77,37 @@ def test_empty_text_metrics():
     ds = rd.from_arrow(pa.Table.from_pandas(tbl, preserve_index=False))
     out = window_features(ds, metrics=("text_len", "n_tokens")).to_pandas()
     assert (out["text_len"] == 0).all() and (out["n_tokens"] == 0).all()
+
+
+def test_all_null_metric_yields_all_null_windows():
+    """FIXTURES F3 edge: a metric that is all-null for an entity produces
+    all-null window features for it (NaN-propagating windows). Nullable
+    metrics with MIXED nulls must go through stages.fill.fill_zero_except
+    BEFORE windowing — the engine's documented contract (M11)."""
+    import pandas as pd
+
+    from nfl_feature_store_ray.state.window_engine import compute_bucket_windows
+    from nfl_feature_store_ray.state.window_kernel_pl import compute_bucket_windows_pl
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 5 + ["b"] * 3,
+            "turn_idx": np.array([0, 1, 2, 3, 4, 0, 1, 2], dtype="int32"),
+            "role": ["user"] * 8,
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(5)]
+            + [base + pd.Timedelta(minutes=i) for i in range(3)],
+            "m": [np.nan] * 5 + [1.0, 2.0, 3.0],
+        }
+    )
+    for r in ("user", "assistant", "tool"):
+        df[f"is_{r}"] = (df["role"] == r).astype("int8")
+    df = df.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+
+    for kernel in (compute_bucket_windows, compute_bucket_windows_pl):
+        out = kernel(df.copy(), metrics=("m",))
+        a = out[out.conv_id == "a"]
+        for c in ("last_m", "form_m", "avg_m", "ewma_m", "session_avg_m"):
+            assert a[c].isna().all(), (kernel.__name__, c)
+        b = out[out.conv_id == "b"].reset_index(drop=True)
+        np.testing.assert_allclose(b["avg_m"].to_numpy(), [np.nan, 1.0, 1.5], equal_nan=True)

@@ -15,9 +15,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import ray.data
-from ray.data.aggregate import Sum
-
 from nfl_feature_store_ray.sources.readers import read_table
 from nfl_feature_store_ray.stages.bucketize import map_conv_buckets, tune_context
 

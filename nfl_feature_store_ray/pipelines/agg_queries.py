@@ -65,7 +65,7 @@ SELECT l_suppkey,
        ROUND(SUM(l_quantity), 4) AS sum_qty,
        ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 4) AS ret_qty,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-       SUM(1) AS n_items
+       COUNT(*) AS n_items
 FROM lineitem GROUP BY l_suppkey
 """
 
@@ -232,7 +232,7 @@ def q1_pricing(sf_dir: str):
     cutoff = pd.Timestamp("1998-09-02")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= cutoff]
+        df = df[df["l_shipdate"] <= cutoff].copy()
         df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
         df["charge"] = df["disc_price"] * (1 + df["l_tax"])
         df["count_order"] = 1

@@ -103,6 +103,7 @@ def q_pivot_roles(sf_dir: str):
             ["user_value", "assistant_value", "tool_value"]
         ].sum()
         g["user_minus_assistant"] = g["user_value"] - g["assistant_value"]
+        g["day"] = g["day"].astype("datetime64[us]")
         return _round(
             g, ["user_value", "assistant_value", "tool_value", "user_minus_assistant"], 6
         )
@@ -155,7 +156,7 @@ SQL_AGG_CAREER = f"""{_T}
 SELECT conv_id,
        ROUND(SUM(value), 6) AS total_value,
        COUNT(*) AS n_turns,
-       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
        ROUND(SUM(value) / COUNT(*), 6) AS value_per_turn,
        ROUND(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
          AS tool_rate

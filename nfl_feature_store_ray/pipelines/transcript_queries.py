@@ -261,6 +261,7 @@ def q_rank_day(sf_dir: str):
             ["day", "day_value", "conv_id"], ascending=[True, False, True], kind="mergesort"
         )
         d["day_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
+        d["day"] = d["day"].astype("datetime64[us]")
         return d
 
     # per-batch partial aggregation, then ONE bucket shuffle on the day key
@@ -322,6 +323,7 @@ def q_densify(sf_dir: str):
             grid = grid.reset_index().rename(columns={"index": "day"})
             out.append(grid[["conv_id", "day", "day_value", "filled_value", "grid_avg"]])
         res = pd.concat(out, ignore_index=True)
+        res["day"] = res["day"].astype("datetime64[us]")  # match DuckDB
         return _round6(res, ["day_value", "filled_value", "grid_avg"])
 
     return map_conv_buckets(ts, densify_bucket, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
@@ -431,6 +433,7 @@ def q_rank_composite(sf_dir: str):
         d = d.sort_values(["day", "_mean_rank", "conv_id"], ascending=[True, True, True],
                           kind="mergesort")
         d["net_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
+        d["day"] = d["day"].astype("datetime64[us]")
         return d.drop(columns=["_mean_rank"]).sort_values(["day", "conv_id"]).reset_index(drop=True)
 
     partials = ts.map_batches(partial, batch_format="pandas")
@@ -443,7 +446,7 @@ SQL_RANK_COMPOSITE = f"""{_T},
 daily AS (
   SELECT date_trunc('day', ts) AS day, conv_id,
          ROUND(SUM(value), 6) AS day_value,
-         SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_err
+         CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
   FROM t GROUP BY 1, 2
 ),
 r AS (

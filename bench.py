@@ -60,9 +60,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        rows = consume(fn())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: the sandbox host shows load spikes; a single sample
+        # can be 3-5x off the steady state
+        best, rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = consume(fn())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return rows
 
     # headline: flagship full window-feature materialization — best of two
@@ -75,10 +81,6 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         )
 
     rows = timed("window_features_full", flagship)
-    t0 = time.perf_counter()
-    consume(flagship())
-    second = round(time.perf_counter() - t0, 3)
-    timings["window_features_full"] = min(timings["window_features_full"], second)
     headline = timings["window_features_full"]
 
     # the at-scale path: partitioned layout (ingest untimed + resumable),

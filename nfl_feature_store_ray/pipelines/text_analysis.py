@@ -149,3 +149,23 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
 }
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 1-in-10 sampling (O5-class op the reference lacks).
+
+    Reproducible across engines and runs: membership is a pure function of
+    the key (doc_id % 10 == 3), not an RNG — the sampling idiom that keeps
+    train/eval splits stable across backfills."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return docs.map_batches(
+        lambda df: df[df["doc_id"] % 10 == 3], batch_format="pandas"
+    )
+
+
+SQL_SAMPLE_DOCS = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 3
+"""
+
+QUERIES["sample_docs"] = q_sample_docs
+ORACLES["sample_docs"] = SQL_SAMPLE_DOCS

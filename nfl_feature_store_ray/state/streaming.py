@@ -154,28 +154,23 @@ class StreamingWindowActor:
             oh = (role == r).astype("int64")
             out[f"n_prior_{r}"] = s.n_role[r] + np.cumsum(oh) - oh
 
-        # --- tool lags
+        # --- tool lags (positions/ts are monotonic, so "latest prior tool
+        # row" == running max — vectorized with maximum.accumulate + carry)
         pos = s.turns + np.arange(n)
-        tool_pos = np.where(is_tool, pos, -1)
-        prev_tool = np.empty(n, dtype="float64")
-        run = -1.0 if s.last_tool_pos is None else float(s.last_tool_pos)
-        for i in range(n):  # tiny scalar scan; could be vectorized via ffill
-            prev_tool[i] = run
-            if tool_pos[i] >= 0:
-                run = float(tool_pos[i])
+        carry_pos = -1.0 if s.last_tool_pos is None else float(s.last_tool_pos)
+        tool_pos = np.where(is_tool, pos.astype("float64"), -1.0)
+        prev_tool = np.maximum.accumulate(np.concatenate([[carry_pos], tool_pos]))[:-1]
         out["turns_since_tool"] = np.where(prev_tool >= 0, pos - prev_tool, np.nan)
-        tool_ts = np.where(is_tool, ts_s, np.nan)
-        prev_tool_ts = np.empty(n)
-        run_ts = (
-            np.nan
+        carry_ts = (
+            -np.inf
             if s.last_tool_ts is None
             else np.datetime64(s.last_tool_ts, "us").astype("int64") / 1e6
         )
-        for i in range(n):
-            prev_tool_ts[i] = run_ts
-            if not np.isnan(tool_ts[i]):
-                run_ts = tool_ts[i]
-        out["secs_since_tool"] = ts_s - prev_tool_ts
+        tool_ts = np.where(is_tool, ts_s, -np.inf)
+        prev_tool_ts = np.maximum.accumulate(np.concatenate([[carry_ts], tool_ts]))[:-1]
+        out["secs_since_tool"] = np.where(
+            np.isfinite(prev_tool_ts), ts_s - prev_tool_ts, np.nan
+        )
 
         # --- rolling tool rate (ring carry: prepend tail flags)
         flags = np.concatenate([np.asarray(s.tool_ring, dtype="float64"), is_tool.astype("float64")])

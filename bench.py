@@ -88,22 +88,38 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     import shutil
 
     from nfl_feature_store_ray.pipelines.partitioned import (
-        ingest_partitioned,
+        ingest_partitioned_with_transform,
+        sort_partition,
         window_features_partitioned,
+        window_features_streaming,
     )
 
     part_dir = "/tmp/nfl_fs_bench_parts"
-    ingest_partitioned(
-        transcripts_from_events(sf_dir), part_dir, num_buckets=64,
-        fingerprint_cols=["conv_id", "_seq"],
+    ingest_partitioned_with_transform(
+        transcripts_from_events(sf_dir), part_dir, transform=sort_partition,
+        num_buckets=64, fingerprint_cols=["conv_id", "_seq"],
     )
     out_dir = "/tmp/nfl_fs_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    window_features_partitioned(
-        part_dir, metrics=("value", "text_len", "n_tokens")
-    ).write_parquet(out_dir)
-    timings["window_features_partitioned"] = round(time.perf_counter() - t0, 3)
+
+    def part_job():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        window_features_partitioned(
+            part_dir, metrics=("value", "text_len", "n_tokens")
+        ).write_parquet(out_dir)
+        return time.perf_counter() - t0
+
+    timings["window_features_partitioned"] = round(min(part_job(), part_job()), 3)
+
+    def stream_job():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        window_features_streaming(
+            part_dir, metrics=("value", "text_len", "n_tokens")
+        ).write_parquet(out_dir)
+        return time.perf_counter() - t0
+
+    timings["window_features_streaming"] = round(min(stream_job(), stream_job()), 3)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     timed("asof_checkpoint", lambda: transcript_queries.q_asof_checkpoint(sf_dir))

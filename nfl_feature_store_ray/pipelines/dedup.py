@@ -324,3 +324,69 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
 }
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+COS_T = 0.4  # synthetic embeddings: max pairwise cos ~0.51; 0.4 yields a small true pair set
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (cos >= COS_T, a < b).
+
+    Exact at this scale: the (small) normalized matrix is broadcast via
+    ray.put once; each batch computes one (batch x all) matmul and emits
+    its above-threshold pairs. The 100-TB path replaces the broadcast with
+    IVF-cell blocking (similarity.q_ann_ivf's quantizer) so candidate
+    pairs stay cell-local.
+    """
+    import ray as _ray
+
+    from nfl_feature_store_ray.pipelines.similarity import _norm_rows
+
+    emb_df = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    all_ids = emb_df["vec_id"].to_numpy(dtype=np.int64)
+    all_m = _norm_rows(np.stack(emb_df["embedding"].to_numpy()).astype(np.float64))
+    ids_ref, mat_ref = _ray.put(all_ids), _ray.put(all_m)
+
+    class PairFinder:
+        def __init__(self):
+            self.ids = _ray.get(ids_ref)
+            self.m = _ray.get(mat_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vecs = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            vids = df["vec_id"].to_numpy(dtype=np.int64)
+            sims = np.round(vecs @ self.m.T, 6)  # (batch, all)
+            bi, aj = np.nonzero(sims >= COS_T)
+            a = vids[bi]
+            b = self.ids[aj]
+            keep = a < b
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series(a[keep], dtype="int64"),
+                    "doc_id_b": pd.Series(b[keep], dtype="int64"),
+                    "cos_sim": pd.Series(sims[bi, aj][keep], dtype="float64"),
+                }
+            )
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return emb.map_batches(PairFinder, batch_format="pandas", concurrency=(1, 4))
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS doc_id_a, b.vec_id AS doc_id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {COS_T}
+"""
+
+QUERIES["dedup_embedding"] = q_dedup_embedding
+ORACLES["dedup_embedding"] = SQL_DEDUP_EMBEDDING

@@ -169,3 +169,35 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 3
 
 QUERIES["sample_docs"] = q_sample_docs
 ORACLES["sample_docs"] = SQL_SAMPLE_DOCS
+
+
+def q_token_counts(sf_dir: str):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (word pieces + standalone punctuation), both vectorized per batch."""
+    import re
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = re.compile(r"[a-z0-9]+|[^a-z0-9\s]")
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "ws_tokens": low.str.split(" ").map(len).astype("int64"),
+                "re_tokens": low.map(lambda t: len(pat.findall(t or ""))).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(counts, batch_format="pandas")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS re_tokens
+FROM documents
+"""
+
+QUERIES["token_counts"] = q_token_counts
+ORACLES["token_counts"] = SQL_TOKEN_COUNTS

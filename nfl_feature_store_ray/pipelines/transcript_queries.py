@@ -491,3 +491,89 @@ ORACLES = {
     "w_densify": SQL_DENSIFY,
     "w_asof_checkpoint": SQL_ASOF_CHECKPOINT,
 }
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join: each tool turn matched to the containing
+    session interval [session min_ts, session max_ts] of its conversation.
+
+    One bucket shuffle: intervals and probes both live in the
+    conversation's bucket; the match is a vectorized merge on
+    (conv_id, session_id) after sessionizing — the interval-containment
+    variant of the as-of operator family.
+    """
+    ts = transcripts_from_events(sf_dir)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        gap = (df["ts"] - g["ts"].shift()).dt.total_seconds()
+        brk = (gap > SESSION_GAP_S).fillna(False)
+        df = df.assign(session_id=brk.groupby(df["conv_id"], sort=False).cumsum().astype("int32"))
+        iv = df.groupby(["conv_id", "session_id"], as_index=False).agg(
+            lo=("ts", "min"), hi=("ts", "max"), n_turns=("ts", "size")
+        )
+        probes = df.loc[df["role"] == "tool", ["conv_id", "_seq", "ts", "session_id"]]
+        out = probes.merge(iv, on=["conv_id", "session_id"], how="left")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out[["conv_id", "_seq", "session_id", "lo", "hi", "n_turns"]]
+
+    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_RANGE_JOIN = f"""{_T},
+g AS (
+  SELECT conv_id, _seq, ts, role,
+         CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (SELECT *, CAST(SUM(brk) OVER ({_W}) AS INTEGER) AS session_id FROM g),
+iv AS (
+  SELECT conv_id, session_id, MIN(ts) AS lo, MAX(ts) AS hi, COUNT(*) AS n_turns
+  FROM s GROUP BY 1, 2
+)
+SELECT p.conv_id, p._seq, p.session_id, iv.lo, iv.hi, iv.n_turns
+FROM (SELECT conv_id, _seq, ts, session_id FROM s WHERE role = 'tool') p
+LEFT JOIN iv ON iv.conv_id = p.conv_id AND p.ts BETWEEN iv.lo AND iv.hi
+"""
+
+
+def q_tumbling(sf_dir: str):
+    """Tumbling windowed aggregate: fixed 6-hour event-time windows per
+    conversation (count, sum, mean) — the windowed-aggregate shape the
+    reference's weekly grain special-cases, generalized to any width."""
+    ts = transcripts_from_events(sf_dir)
+    width_s = 6 * 3600
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df["ts"].astype("int64") // (width_s * 1_000_000)).astype("int64")
+        df = df.assign(win=win, n=1)
+        return df.groupby(["conv_id", "win"], as_index=False).agg(
+            n_turns=("n", "sum"), sum_value=("value", "sum")
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["conv_id", "win"], as_index=False).sum()
+        g["n_turns"] = g["n_turns"].astype("int64")
+        g["mean_value"] = np.round(g["sum_value"] / g["n_turns"], 6)
+        g["sum_value"] = np.round(g["sum_value"], 6)
+        return g
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, final, key=["conv_id", "win"], sort_cols=["conv_id", "win"]
+    )
+
+
+SQL_TUMBLING = f"""{_T}
+SELECT conv_id,
+       CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS win,
+       COUNT(*) AS n_turns,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(SUM(value) / COUNT(*), 6) AS mean_value
+FROM t GROUP BY 1, 2
+"""
+
+QUERIES["w_range_join"] = q_range_join
+QUERIES["w_tumbling"] = q_tumbling
+ORACLES["w_range_join"] = SQL_RANGE_JOIN
+ORACLES["w_tumbling"] = SQL_TUMBLING

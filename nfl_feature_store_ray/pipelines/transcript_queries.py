@@ -545,7 +545,8 @@ def q_tumbling(sf_dir: str):
     width_s = 6 * 3600
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        win = (df["ts"].astype("int64") // (width_s * 1_000_000)).astype("int64")
+        # pin to microsecond epoch regardless of the block's datetime unit
+        win = (df["ts"].astype("datetime64[us]").astype("int64") // (width_s * 1_000_000)).astype("int64")
         df = df.assign(win=win, n=1)
         return df.groupby(["conv_id", "win"], as_index=False).agg(
             n_turns=("n", "sum"), sum_value=("value", "sum")

@@ -210,17 +210,12 @@ def q_dedup_minhash_lsh(sf_dir: str):
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
     cand = map_conv_buckets(banded, candidates, key="bk", sort_cols=["bk", "doc_id"])
-    cand = map_conv_buckets(  # distinct pairs, one bucket shuffle
-        cand,
-        lambda g: g.drop_duplicates(["doc_id_a", "doc_id_b"]),
-        key=["doc_id_a", "doc_id_b"],
-        sort_cols=["doc_id_a", "doc_id_b"],
-        num_buckets=16,
-    )
 
     # verification: join candidate pairs back to shingle sets and compute
-    # exact Jaccard. Candidate set is small (near-dups only) — broadcast it.
-    cand_df = cand.to_pandas()
+    # exact Jaccard. The candidate set is small by construction (near-dup
+    # clusters only), so cross-band dedup happens on the driver frame we
+    # materialize for verification anyway — no extra shuffle.
+    cand_df = cand.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
     if len(cand_df) == 0:
         return pd.DataFrame(
             {"doc_id_a": pd.Series(dtype="int64"), "doc_id_b": pd.Series(dtype="int64"),

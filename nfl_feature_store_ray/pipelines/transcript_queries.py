@@ -578,3 +578,37 @@ QUERIES["w_range_join"] = q_range_join
 QUERIES["w_tumbling"] = q_tumbling
 ORACLES["w_range_join"] = SQL_RANGE_JOIN
 ORACLES["w_tumbling"] = SQL_TUMBLING
+
+
+def q_lead_label(sf_dir: str):
+    """LEAD (next-turn) columns — LABEL construction, not features.
+
+    The engine's features are strictly backward-looking (zero leakage);
+    training targets legitimately look one step FORWARD. Kept in a
+    separate, clearly-named pipeline so the leakage property test can
+    exclude it by construction: `next_value` / `next_role` at turn k are
+    the raw values of turn k+1 (null at the conversation's last turn).
+    """
+    ts = transcripts_from_events(sf_dir)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        out = df.assign(
+            turn_idx=g.cumcount().astype("int32"),
+            next_value=np.round(g["value"].shift(-1).astype("float64"), 6),
+            next_role=g["role"].shift(-1).astype(object).where(lambda s: s.notna(), None),
+        )
+        return out[["conv_id", "turn_idx", "next_value", "next_role"]]
+
+    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_LEAD_LABEL = f"""{_T}
+SELECT conv_id, turn_idx,
+       ROUND(LEAD(value) OVER ({_W}), 6) AS next_value,
+       LEAD(role) OVER ({_W}) AS next_role
+FROM t
+"""
+
+QUERIES["w_lead_label"] = q_lead_label
+ORACLES["w_lead_label"] = SQL_LEAD_LABEL

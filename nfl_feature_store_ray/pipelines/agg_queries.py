@@ -14,6 +14,7 @@ instead of every input row.
 from __future__ import annotations
 
 import numpy as np
+from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
 from nfl_feature_store_ray.sources.readers import read_table
 from nfl_feature_store_ray.stages.bucketize import map_conv_buckets, tune_context
@@ -21,7 +22,7 @@ from nfl_feature_store_ray.stages.bucketize import map_conv_buckets, tune_contex
 
 def _round(df: pd.DataFrame, cols: list[str], nd: int = 4) -> pd.DataFrame:
     for c in cols:
-        df[c] = np.round(df[c].astype("float64"), nd)
+        df[c] = round_half_away(df[c].astype("float64"), nd)
     return df
 
 

@@ -24,6 +24,7 @@ stop-shingle handling), never silently.
 from __future__ import annotations
 
 import numpy as np
+from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
 from nfl_feature_store_ray.functions import textfuncs as tf
 from nfl_feature_store_ray.sources.readers import read_table
@@ -104,7 +105,7 @@ def _pairs_from_index(group: pd.DataFrame) -> pd.DataFrame:
 
 def _finish_jaccard(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
     union = df["n_sh_a"] + df["n_sh_b"] - df["shared"]
-    df["jaccard"] = np.round(df["shared"] / union.astype("float64"), 6)
+    df["jaccard"] = round_half_away(df["shared"] / union.astype("float64"), 6)
     df = df[df["jaccard"] >= threshold]
     return df[["doc_id_a", "doc_id_b", "jaccard"]]
 
@@ -242,7 +243,7 @@ def q_dedup_minhash_lsh(sf_dir: str):
         inter = len(sa & sb)
         union = len(sa | sb)
         jac.append(inter / union if union else 0.0)
-    cand_df["jaccard"] = np.round(jac, 6)
+    cand_df["jaccard"] = round_half_away(jac, 6)
     out = cand_df[cand_df["jaccard"] >= JACCARD_T].reset_index(drop=True)
     return out[["doc_id_a", "doc_id_b", "jaccard"]]
 
@@ -357,7 +358,7 @@ def q_dedup_embedding(sf_dir: str):
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             vecs = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
             vids = df["vec_id"].to_numpy(dtype=np.int64)
-            sims = np.round(vecs @ self.m.T, 6)  # (batch, all)
+            sims = round_half_away(vecs @ self.m.T, 6)  # (batch, all)
             bi, aj = np.nonzero(sims >= COS_T)
             a = vids[bi]
             b = self.ids[aj]

@@ -19,6 +19,7 @@
 from __future__ import annotations
 
 import numpy as np
+from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
 import ray
 
@@ -34,7 +35,7 @@ _T = f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
 
 def _round(df, cols, nd=4):
     for c in cols:
-        df[c] = np.round(df[c].astype("float64"), nd)
+        df[c] = round_half_away(df[c].astype("float64"), nd)
     return df
 
 
@@ -135,29 +136,35 @@ def q_agg_career(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["n_tool"] = (df["role"] == "tool").astype("int64")
         df["n_turns"] = 1
+        # exact integer cents (schemas.QUANT_SCALE): partial sums are
+        # order-independent, so ratio ties round identically to the oracle
+        df["vc"] = np.rint(df["value"].to_numpy() * 100.0)
         return df.groupby("conv_id", as_index=False).agg(
-            total_value=("value", "sum"), n_turns=("n_turns", "sum"), n_tool=("n_tool", "sum")
+            total_c=("vc", "sum"), n_turns=("n_turns", "sum"), n_tool=("n_tool", "sum")
         )
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("conv_id", as_index=False).sum()
         # ratio metrics from summed numerators/denominators (A11 semantics)
-        g["value_per_turn"] = g["total_value"] / g["n_turns"]
+        g["total_value"] = g["total_c"] / 100.0
+        g["value_per_turn"] = g["total_c"] / (100.0 * g["n_turns"])
         g["tool_rate"] = g["n_tool"] / g["n_turns"]
         g["n_turns"] = g["n_turns"].astype("int64")
         g["n_tool"] = g["n_tool"].astype("int64")
+        g = g.drop(columns=["total_c"])
         return _round(g, ["total_value", "value_per_turn", "tool_rate"], 6)
 
     partials = ts.map_batches(partial, batch_format="pandas")
     return map_conv_buckets(partials, final, key="conv_id", sort_cols=["conv_id"])
 
 
+# cents-exact sums (order-independent; see transcript_queries.SQL_EXPANDING)
 SQL_AGG_CAREER = f"""{_T}
 SELECT conv_id,
-       ROUND(SUM(value), 6) AS total_value,
+       ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS total_value,
        COUNT(*) AS n_turns,
        CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
-       ROUND(SUM(value) / COUNT(*), 6) AS value_per_turn,
+       ROUND(SUM(ROUND(value * 100)) / (100.0 * COUNT(*)), 6) AS value_per_turn,
        ROUND(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
          AS tool_rate
 FROM t GROUP BY conv_id

@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -66,7 +67,7 @@ def q_success_points(sf_dir: str):
             {
                 "conv_id": df["conv_id"],
                 "_seq": df["_seq"],
-                "success_points": np.round(pts, 6),
+                "success_points": round_half_away(pts, 6),
             }
         )
 

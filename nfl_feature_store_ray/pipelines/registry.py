@@ -19,6 +19,9 @@ def _merge(*modules):
 
 
 def all_queries():
+    # imports are strict: a broken pipeline module must FAIL the registry
+    # (and hence the driver gate), not silently shrink the query set to a
+    # smaller all-green one
     modules = [transcript_queries]
     for name in (
         "agg_queries",
@@ -28,9 +31,6 @@ def all_queries():
         "join_queries",
         "parse_queries",
     ):
-        try:
-            mod = __import__(f"nfl_feature_store_ray.pipelines.{name}", fromlist=[name])
-            modules.append(mod)
-        except ImportError:
-            pass
+        mod = __import__(f"nfl_feature_store_ray.pipelines.{name}", fromlist=[name])
+        modules.append(mod)
     return _merge(*modules)

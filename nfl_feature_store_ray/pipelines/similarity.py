@@ -17,6 +17,7 @@ ranking, ties broken by vec_id ascending — identical rule in the SQL.
 from __future__ import annotations
 
 import numpy as np
+from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
 import ray
 
@@ -58,7 +59,7 @@ class _BatchTopK:
         vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         vids = df["vec_id"].to_numpy(dtype=np.int64)
         sims = _norm_rows(vecs) @ self.qm.T  # (batch, nq)
-        sims = np.round(sims, 6)
+        sims = round_half_away(sims, 6)
         outs = []
         for qi, qid in enumerate(self.qids):
             col = sims[:, qi]
@@ -165,7 +166,7 @@ def q_ann_ivf(sf_dir: str):
             vecs = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
             vids = df["vec_id"].to_numpy(dtype=np.int64)
             cells = (vecs @ self.cent.T).argmax(axis=1)
-            sims = np.round(vecs @ self.qm.T, 6)
+            sims = round_half_away(vecs @ self.qm.T, 6)
             outs = []
             for qi, qid in enumerate(self.qids):
                 in_probe = np.isin(cells, list(self.probe[qi]))

@@ -10,6 +10,7 @@ lambdas where expressible.
 from __future__ import annotations
 
 import numpy as np
+from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
 
 from nfl_feature_store_ray.functions import textfuncs as tf
@@ -22,7 +23,9 @@ def q_text_stats(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = [t.split(" ") if t else [] for t in df["text"]]
+        # ''.split(' ') == [''] — one empty token, matching the oracle's
+        # string_split('', ' ') (NOT zero tokens); None stays token-free
+        toks = [t.split(" ") if t is not None else [] for t in df["text"]]
         low = [[w.lower() for w in ts] for ts in toks]
         n_tokens = np.array([len(ts) for ts in toks], dtype=np.int64)
         stop = np.array(
@@ -41,9 +44,9 @@ def q_text_stats(sf_dir: str):
                 "doc_id": df["doc_id"],
                 "n_chars": n_chars,
                 "n_tokens": n_tokens,
-                "stop_ratio": np.round(stop_ratio, 6),
-                "uniq_ratio": np.round(uniq_ratio, 6),
-                "avg_token_len": np.round(avg_tok, 6),
+                "stop_ratio": round_half_away(stop_ratio, 6),
+                "uniq_ratio": round_half_away(uniq_ratio, 6),
+                "avg_token_len": round_half_away(avg_tok, 6),
             }
         )
 

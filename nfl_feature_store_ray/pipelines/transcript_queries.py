@@ -18,6 +18,7 @@ w_asof_checkpoint=W8/J7.
 from __future__ import annotations
 
 import numpy as np
+from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
 import ray.data
 
@@ -36,7 +37,7 @@ _W = "PARTITION BY conv_id ORDER BY ts, _seq"
 def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     df = df.copy()  # callers pass column slices; don't mutate views
     for c in cols:
-        df[c] = np.round(df[c].astype("float64"), 6)
+        df[c] = round_half_away(df[c].astype("float64"), 6)
     return df
 
 
@@ -89,9 +90,16 @@ def q_expanding(sf_dir: str):
     )
 
 
+# Expanding mean via exact integer cents (input contract: 2-decimal values,
+# schemas.QUANT_SCALE): SUM over exact integers is order-independent, so the
+# oracle and the engine produce bit-identical doubles even at 5e-7 rounding
+# ties — plain AVG(value) here differs from any cumsum engine by 1 ulp at
+# power-of-two counts (segment-tree vs sequential summation).
 SQL_EXPANDING = f"""{_T}
 SELECT conv_id, turn_idx,
-       ROUND(AVG(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS avg_value
+       ROUND(SUM(ROUND(value * 100)) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             / (100.0 * COUNT(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             6) AS avg_value
 FROM t
 """
 
@@ -157,31 +165,35 @@ def q_session_avg(sf_dir: str):
     )
 
 
+# Cents-exact like SQL_EXPANDING: vc = ROUND(value*100) is an exact integer
+# in float64, so every SUM below is order-independent and the divisions
+# produce the same doubles as the engine's scaled-integer kernel.
 SQL_SESSION_AVG = f"""{_T},
 b AS (
-  SELECT conv_id, turn_idx, value, ts, _seq,
+  SELECT conv_id, turn_idx, ROUND(value * 100) AS vc, ts, _seq,
          CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
   FROM t
 ),
 s AS (SELECT *, SUM(brk) OVER ({_W}) AS sid FROM b),
 w AS (
   SELECT *,
-         SUM(value) OVER (PARTITION BY conv_id, sid ORDER BY ts, _seq
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cs,
-         COUNT(value) OVER (PARTITION BY conv_id, sid ORDER BY ts, _seq
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cnt
+         SUM(vc) OVER (PARTITION BY conv_id, sid ORDER BY ts, _seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cs,
+         COUNT(vc) OVER (PARTITION BY conv_id, sid ORDER BY ts, _seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cnt
   FROM s
 ),
 agg AS (
-  SELECT conv_id, sid, SUM(value) AS total, COUNT(*) AS n,
-         LAST(value ORDER BY ts, _seq) AS lastv
+  SELECT conv_id, sid, SUM(vc) AS total, COUNT(*) AS n,
+         LAST(vc ORDER BY ts, _seq) AS lastv
   FROM s GROUP BY conv_id, sid
 ),
 agg2 AS (
   SELECT conv_id, sid,
          LAG(lastv) OVER (PARTITION BY conv_id ORDER BY sid) AS seed,
-         CASE WHEN sid = 0 THEN total / n
-              ELSE (LAG(lastv) OVER (PARTITION BY conv_id ORDER BY sid) + total) / (1 + n)
+         CASE WHEN sid = 0 THEN total / (100.0 * n)
+              ELSE (LAG(lastv) OVER (PARTITION BY conv_id ORDER BY sid) + total)
+                   / (100.0 * (1 + n))
          END AS final_exp
   FROM agg
 ),
@@ -192,8 +204,8 @@ agg3 AS (
 )
 SELECT w.conv_id, w.turn_idx,
        ROUND(CASE WHEN w.sid = 0
-                  THEN CASE WHEN w.cnt > 0 THEN w.cs / w.cnt END
-                  ELSE CASE WHEN w.cnt > 0 THEN (a3.seed + w.cs) / (1 + w.cnt)
+                  THEN CASE WHEN w.cnt > 0 THEN w.cs / (100.0 * w.cnt) END
+                  ELSE CASE WHEN w.cnt > 0 THEN (a3.seed + w.cs) / (100.0 * (1 + w.cnt))
                             ELSE a3.prev_final END
              END, 6) AS session_avg_value
 FROM w JOIN agg3 a3 ON w.conv_id = a3.conv_id AND w.sid = a3.sid
@@ -256,7 +268,7 @@ def q_rank_day(sf_dir: str):
     def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
         # whole days per bucket: final-sum the partials, then rank per day
         d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
-        d["day_value"] = np.round(d["day_value"], 6)
+        d["day_value"] = round_half_away(d["day_value"], 6)
         d = d.sort_values(
             ["day", "day_value", "conv_id"], ascending=[True, False, True], kind="mergesort"
         )
@@ -284,74 +296,96 @@ FROM daily
 """
 
 
+def _daily_cents(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-(conv, day) value sums in exact integer cents (QUANT_SCALE)."""
+    df = df.assign(
+        day=df["ts"].astype("datetime64[us]").dt.floor("D"),
+        vc=np.rint(df["value"].to_numpy() * 100.0),
+    )
+    return df.groupby(["conv_id", "day"], as_index=False).agg(day_c=("vc", "sum"))
+
+
+def _dense_day_grid(daily: pd.DataFrame, lo: pd.Series, hi: pd.Series) -> pd.DataFrame:
+    """Vectorized dense (conv_id, day) grid between per-conv [lo, hi] days.
+
+    No per-conversation Python loop: one np.repeat + offset arange builds
+    every conversation's span at once; output rows are bounded by each
+    conversation's OWN activity span (not the global range — SURVEY §0
+    probe 4 bounds the grid per epoch).
+    """
+    n_days = ((hi - lo).dt.days + 1).to_numpy()
+    conv_rep = np.repeat(lo.index.to_numpy(), n_days)
+    total = int(n_days.sum())
+    starts = np.concatenate([[0], np.cumsum(n_days)[:-1]])
+    offs = np.arange(total) - np.repeat(starts, n_days)
+    day = np.repeat(lo.to_numpy().astype("datetime64[D]"), n_days) + offs.astype(
+        "timedelta64[D]"
+    )
+    grid = pd.DataFrame({"conv_id": conv_rep, "day": day.astype("datetime64[us]")})
+    daily = daily.assign(day=daily["day"].astype("datetime64[us]"))
+    return grid.merge(daily, on=["conv_id", "day"], how="left")
+
+
 def q_densify(sf_dir: str):
     """W4: dense per-conversation day grid with carry-fill + expanding mean.
 
     Analogue of the reference's weekly-grid densification with bye-week
     fill (SURVEY §0 probe 4): missing (conv, day) cells carry the last
     observed daily value; the expanding mean runs over the dense grid,
-    shifted one day.
+    shifted one day. The grid is bounded by each conversation's OWN
+    [first, last] active day — output rows stay O(activity span), not
+    O(n_convs x global days) — and all sums are cents-exact.
     """
     ts = transcripts_from_events(sf_dir)
 
-    # two-pass: tiny global (min_day, max_day) aggregate, broadcast into the
-    # per-bucket grid builder
-    bounds = ts.map_batches(
-        lambda df: pd.DataFrame({"lo": [df["ts"].min()], "hi": [df["ts"].max()]}),
-        batch_format="pandas",
-    ).to_pandas()
-    lo = bounds["lo"].min().floor("D")
-    hi = bounds["hi"].max().floor("D")
-    days = pd.date_range(lo, hi, freq="D")
-
     def densify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["day"] = df["ts"].dt.floor("D")
-        daily = (
-            df.groupby(["conv_id", "day"], as_index=False)["value"]
-            .sum()
-            .rename(columns={"value": "day_value"})
+        daily = _daily_cents(df)
+        span = daily.groupby("conv_id")["day"].agg(lo="min", hi="max")
+        g = _dense_day_grid(daily, span["lo"], span["hi"])
+        conv = g["conv_id"]
+        g["filled_c"] = g["day_c"].groupby(conv, sort=False).ffill()
+        prev = g["filled_c"].groupby(conv, sort=False).shift()
+        cnt = prev.notna().groupby(conv, sort=False).cumsum().astype("float64")
+        csum = prev.fillna(0.0).groupby(conv, sort=False).cumsum()
+        res = pd.DataFrame(
+            {
+                "conv_id": conv,
+                "day": g["day"],
+                "day_value": g["day_c"] / 100.0,
+                "filled_value": g["filled_c"] / 100.0,
+                "grid_avg": (csum / (100.0 * cnt)).where(cnt > 0),
+            }
         )
-        out = []
-        for conv_id, g in daily.groupby("conv_id", sort=True):
-            grid = g.set_index("day").reindex(days)
-            grid["conv_id"] = conv_id
-            grid["filled_value"] = grid["day_value"].ffill()
-            prev = grid["filled_value"].shift()
-            cnt = prev.notna().cumsum().astype("float64")
-            csum = prev.fillna(0.0).cumsum()
-            grid["grid_avg"] = (csum / cnt).where(cnt > 0)
-            grid = grid.reset_index().rename(columns={"index": "day"})
-            out.append(grid[["conv_id", "day", "day_value", "filled_value", "grid_avg"]])
-        res = pd.concat(out, ignore_index=True)
-        res["day"] = res["day"].astype("datetime64[us]")  # match DuckDB
         return _round6(res, ["day_value", "filled_value", "grid_avg"])
 
     return map_conv_buckets(ts, densify_bucket, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
 
 
 SQL_DENSIFY = f"""{_T},
-bounds AS (SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM t),
-days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
-convs AS (SELECT DISTINCT conv_id FROM t),
 daily AS (
-  SELECT conv_id, date_trunc('day', ts) AS day, SUM(value) AS day_value
+  SELECT conv_id, date_trunc('day', ts) AS day, SUM(ROUND(value * 100)) AS day_c
   FROM t GROUP BY 1, 2
 ),
+span AS (SELECT conv_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
 grid AS (
-  SELECT c.conv_id, d.day, dl.day_value
-  FROM convs c CROSS JOIN days d
-  LEFT JOIN daily dl ON dl.conv_id = c.conv_id AND dl.day = d.day
+  SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span
+),
+g2 AS (
+  SELECT g.conv_id, g.day, d.day_c
+  FROM grid g LEFT JOIN daily d ON d.conv_id = g.conv_id AND d.day = g.day
 ),
 filled AS (
-  SELECT conv_id, day, day_value,
-         LAST_VALUE(day_value IGNORE NULLS)
-           OVER (PARTITION BY conv_id ORDER BY day) AS filled_value
-  FROM grid
+  SELECT conv_id, day, day_c,
+         LAST_VALUE(day_c IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY day) AS filled_c
+  FROM g2
 )
-SELECT conv_id, day, ROUND(day_value, 6) AS day_value,
-       ROUND(filled_value, 6) AS filled_value,
-       ROUND(AVG(filled_value) OVER (PARTITION BY conv_id ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS grid_avg
+SELECT conv_id, day, ROUND(day_c / 100.0, 6) AS day_value,
+       ROUND(filled_c / 100.0, 6) AS filled_value,
+       ROUND(SUM(filled_c) OVER (PARTITION BY conv_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             / (100.0 * COUNT(filled_c) OVER (PARTITION BY conv_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 6) AS grid_avg
 FROM filled
 """
 
@@ -372,9 +406,9 @@ def q_asof_checkpoint(sf_dir: str):
 
     def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
         cnt = df.groupby("conv_id", sort=False).cumcount().astype("float64")
-        incl = df["value"].astype("float64").groupby(df["conv_id"], sort=False).cumsum() / (
-            cnt + 1.0
-        )
+        # cents-exact inclusive running mean (order-independent; QUANT_SCALE)
+        vc = pd.Series(np.rint(df["value"].to_numpy() * 100.0), index=df.index)
+        incl = vc.groupby(df["conv_id"], sort=False).cumsum() / (100.0 * (cnt + 1.0))
         df = df.assign(turn_idx=cnt.astype("int32"), ckpt_value=incl)
         ck = df.loc[df["turn_idx"] % 10 == 0, ["conv_id", "ts", "ckpt_value"]]
         turns = df[["conv_id", "turn_idx", "ts"]]
@@ -395,7 +429,9 @@ def q_asof_checkpoint(sf_dir: str):
 SQL_ASOF_CHECKPOINT = f"""{_T},
 f AS (
   SELECT conv_id, turn_idx, ts,
-         AVG(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS incl_avg
+         SUM(ROUND(value * 100)) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / (100.0 * COUNT(*) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS incl_avg
   FROM t
 ),
 ck AS (SELECT conv_id, ts, incl_avg AS ckpt_value FROM f WHERE turn_idx % 10 = 0)
@@ -420,7 +456,7 @@ def q_rank_composite(sf_dir: str):
 
     def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby(["day", "conv_id"], as_index=False).sum()
-        d["day_value"] = np.round(d["day_value"], 6)
+        d["day_value"] = round_half_away(d["day_value"], 6)
         d["n_err"] = d["n_err"].astype("int64")
         # value: higher is better (desc); errors: lower is better (asc)
         d = d.sort_values(["day", "day_value", "conv_id"], ascending=[True, False, True],
@@ -547,17 +583,18 @@ def q_tumbling(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # pin to microsecond epoch regardless of the block's datetime unit
         win = (df["ts"].astype("datetime64[us]").astype("int64") // (width_s * 1_000_000)).astype("int64")
-        df = df.assign(win=win, n=1)
+        # exact integer cents -> order-independent partial sums (QUANT_SCALE)
+        df = df.assign(win=win, n=1, vc=np.rint(df["value"].to_numpy() * 100.0))
         return df.groupby(["conv_id", "win"], as_index=False).agg(
-            n_turns=("n", "sum"), sum_value=("value", "sum")
+            n_turns=("n", "sum"), sum_c=("vc", "sum")
         )
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby(["conv_id", "win"], as_index=False).sum()
         g["n_turns"] = g["n_turns"].astype("int64")
-        g["mean_value"] = np.round(g["sum_value"] / g["n_turns"], 6)
-        g["sum_value"] = np.round(g["sum_value"], 6)
-        return g
+        g["mean_value"] = round_half_away(g["sum_c"] / (100.0 * g["n_turns"]), 6)
+        g["sum_value"] = round_half_away(g["sum_c"] / 100.0, 6)
+        return g.drop(columns=["sum_c"])
 
     partials = ts.map_batches(partial, batch_format="pandas")
     return map_conv_buckets(
@@ -565,12 +602,13 @@ def q_tumbling(sf_dir: str):
     )
 
 
+# cents-exact sums (see SQL_EXPANDING) so mean ties round identically
 SQL_TUMBLING = f"""{_T}
 SELECT conv_id,
        CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS win,
        COUNT(*) AS n_turns,
-       ROUND(SUM(value), 6) AS sum_value,
-       ROUND(SUM(value) / COUNT(*), 6) AS mean_value
+       ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS sum_value,
+       ROUND(SUM(ROUND(value * 100)) / (100.0 * COUNT(*)), 6) AS mean_value
 FROM t GROUP BY 1, 2
 """
 
@@ -595,7 +633,7 @@ def q_lead_label(sf_dir: str):
         g = df.groupby("conv_id", sort=False)
         out = df.assign(
             turn_idx=g.cumcount().astype("int32"),
-            next_value=np.round(g["value"].shift(-1).astype("float64"), 6),
+            next_value=round_half_away(g["value"].shift(-1).astype("float64"), 6),
             next_role=g["role"].shift(-1).astype(object).where(lambda s: s.notna(), None),
         )
         return out[["conv_id", "turn_idx", "next_value", "next_role"]]

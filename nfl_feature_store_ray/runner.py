@@ -49,14 +49,15 @@ def _event_day_pivot(sf_dir: str):
     return q_pivot_roles(sf_dir)
 
 
-# name -> (builder, partition key, fingerprint columns)
+# name -> (builder, partition key); fingerprint_cols=None => hash EVERY
+# column, so value changes without key changes still invalidate partitions
 FEATURE_STORE_METAS = [
     {"name": "turn_window_features", "builder": _turn_window_features,
-     "key": "conv_id", "fingerprint_cols": ["conv_id", "turn_idx"]},
+     "key": "conv_id", "fingerprint_cols": None},
     {"name": "conv_career", "builder": _conv_career,
-     "key": "conv_id", "fingerprint_cols": ["conv_id"]},
+     "key": "conv_id", "fingerprint_cols": None},
     {"name": "event_day_pivot", "builder": _event_day_pivot,
-     "key": "conv_id", "fingerprint_cols": ["conv_id", "day"]},
+     "key": "conv_id", "fingerprint_cols": None},
 ]
 
 

@@ -32,6 +32,13 @@ COVER_WINDOW = 10
 EWMA_SPAN = 10
 EWMA_ALPHA = 2.0 / (EWMA_SPAN + 1)  # pandas ewm(span=10, adjust=False)
 SESSION_GAP_S = 86_400  # 24 h inactivity => new session (epoch boundary)
+# Input contract (FIXTURES.md F2): metric columns carry at most 2 decimals
+# (`value` is generated as 2-decimal; text_len/n_tokens are integers).
+# Expanding/whole-history means sum rint(x * QUANT_SCALE) — exact integers
+# in float64 — so the sum is order-independent: the distributed result is
+# bit-identical to any serial or SQL engine regardless of partitioning,
+# and 5e-7 rounding ties resolve identically on both sides.
+QUANT_SCALE = 100.0
 
 # Default number of hash buckets for the conv_id partition spine. At cluster
 # scale this should be ~2-4x total cores so that one straggler bucket cannot

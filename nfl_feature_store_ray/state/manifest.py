@@ -62,7 +62,11 @@ def write_partitioned(
     def commit(group: pd.DataFrame) -> pd.DataFrame:
         bucket = int(group[BUCKET_COL].iloc[0])
         group = group.drop(columns=[BUCKET_COL])
-        fcols = fingerprint_cols or [c for c in (key, "ts", "turn_idx") if c in group.columns]
+        # default: fingerprint EVERY column — a value change without a key
+        # change must invalidate the partition ("pure function of the
+        # input"); pass fingerprint_cols only when a cheaper column subset
+        # provably determines the output
+        fcols = fingerprint_cols or list(group.columns)
         t0 = time.perf_counter()
         fp = group_fingerprint(group, fcols)
         part_path = os.path.join(out_dir, f"part-{bucket:05d}.parquet")

@@ -44,6 +44,7 @@ from nfl_feature_store_ray.schemas import (
     COVER_WINDOW,
     EWMA_ALPHA,
     FORM_WINDOW,
+    QUANT_SCALE,
     SESSION_GAP_S,
 )
 
@@ -100,7 +101,24 @@ class StreamingWindowActor:
         outs = []
         for conv_id, g in df.groupby("conv_id", sort=False):
             outs.append(self._run_conv(conv_id, g))
-        return pd.concat(outs, ignore_index=True) if outs else df
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        # empty batch: emit the OUTPUT schema, not the input schema, so a
+        # zero-row block can't wedge the downstream schema check
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in self._output_schema()})
+
+    def _output_schema(self) -> list[tuple[str, str]]:
+        cols = [
+            ("conv_id", "object"), ("ts", "datetime64[us]"), ("turn_idx", "int32"),
+            ("gap_s", "float64"), ("session_id", "int32"), ("session_turn_idx", "int32"),
+            ("n_prior_user", "int64"), ("n_prior_assistant", "int64"),
+            ("n_prior_tool", "int64"), ("turns_since_tool", "float64"),
+            ("secs_since_tool", "float64"), ("roll10_tool_rate", "float64"),
+        ]
+        for m in self.metric_names:
+            cols += [(f"{p}_{m}", "float64")
+                     for p in ("last", "form", "avg", "ewma", "session_avg")]
+        return cols
 
     # ------------------------------------------------------------------
     def _run_conv(self, conv_id: str, g: pd.DataFrame) -> pd.DataFrame:
@@ -198,12 +216,17 @@ class StreamingWindowActor:
                 allv, kt, n, FORM_WINDOW, s.turns
             )
 
-            # expanding (register offset)
-            cs = np.cumsum(x)
-            prior_sum = ms.total + cs - x
+            # expanding (register offset) — sums run on exact scaled
+            # integers (schemas.QUANT_SCALE) so the streaming result is
+            # bit-identical to the batch kernel at any batch split
+            xc = np.rint(x * QUANT_SCALE)
+            cs = np.cumsum(xc)
+            prior_sum = ms.total + cs - xc
             prior_cnt = ms.count + np.arange(n, dtype="float64")
             with np.errstate(invalid="ignore", divide="ignore"):
-                out[f"avg_{m}"] = np.where(prior_cnt > 0, prior_sum / prior_cnt, np.nan)
+                out[f"avg_{m}"] = np.where(
+                    prior_cnt > 0, prior_sum / (QUANT_SCALE * prior_cnt), np.nan
+                )
 
             # EWMA (register carry, recursive scan per batch)
             e = np.empty(n)
@@ -214,20 +237,25 @@ class StreamingWindowActor:
             ms.ewma = reg
             out[f"ewma_{m}"] = e
 
-            # session-seeded expanding (segment loop; breaks are rare)
+            # session-seeded expanding (segment loop; breaks are rare) —
+            # all sums/seeds held in exact scaled integers (cents)
             sa = np.empty(n)
             seg_start = 0
             for bp in break_positions:
                 if bp > seg_start:
                     seg = slice(seg_start, bp)
-                    xs = x[seg]
+                    xs = xc[seg]
                     cs_in = ms.sess_sum + np.cumsum(xs) - xs
                     cnt_in = ms.sess_cnt + np.arange(bp - seg_start, dtype="float64")
                     if ms.first_session:
                         with np.errstate(invalid="ignore", divide="ignore"):
-                            sa[seg] = np.where(cnt_in > 0, cs_in / np.maximum(cnt_in, 1), np.nan)
+                            sa[seg] = np.where(
+                                cnt_in > 0,
+                                cs_in / (QUANT_SCALE * np.maximum(cnt_in, 1)),
+                                np.nan,
+                            )
                     else:
-                        base = (ms.seed + cs_in) / (1.0 + cnt_in)
+                        base = (ms.seed + cs_in) / (QUANT_SCALE * (1.0 + cnt_in))
                         sa[seg] = np.where(
                             cnt_in > 0,
                             base,
@@ -239,10 +267,13 @@ class StreamingWindowActor:
                 if bp < n:  # close the session at the break
                     if ms.first_session:
                         ms.prev_final = (
-                            ms.sess_sum / ms.sess_cnt if ms.sess_cnt else None
+                            ms.sess_sum / (QUANT_SCALE * ms.sess_cnt)
+                            if ms.sess_cnt else None
                         )
                     else:
-                        ms.prev_final = (ms.seed + ms.sess_sum) / (1.0 + ms.sess_cnt)
+                        ms.prev_final = (ms.seed + ms.sess_sum) / (
+                            QUANT_SCALE * (1.0 + ms.sess_cnt)
+                        )
                     ms.seed = ms.sess_last
                     ms.first_session = False
                     ms.sess_sum = 0.0
@@ -251,7 +282,7 @@ class StreamingWindowActor:
             out[f"session_avg_{m}"] = sa
 
             # update registers + tail
-            ms.total += float(np.sum(x))
+            ms.total += float(np.sum(xc))
             ms.count += n
             ms.tail = list(allv[-_TAIL:])
 

@@ -50,6 +50,7 @@ from nfl_feature_store_ray.schemas import (
     DEFAULT_WINDOW_METRICS,
     EWMA_SPAN,
     FORM_WINDOW,
+    QUANT_SCALE,
     SESSION_GAP_S,
 )
 from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
@@ -121,14 +122,19 @@ def compute_bucket_windows(
         xg = x.groupby(conv, sort=False)
         df[f"last_{m}"] = xg.shift()
         df[f"form_{m}"] = _rolling_mean_shifted(x, conv, cumcount, form_window)
-        cs = xg.cumsum()
+        # expanding means sum exact scaled integers (schemas.QUANT_SCALE):
+        # integer addition in float64 is exact below 2^53, so the sum is
+        # order-independent — bit-identical across partitionings and vs SQL
+        # engines, which float cumsum vs segment-tree summation is not.
+        xc = pd.Series(np.rint(x.to_numpy() * QUANT_SCALE), index=df.index)
+        ccs = xc.groupby(conv, sort=False).cumsum()
         cnt = cumcount.astype("float64")
-        df[f"avg_{m}"] = ((cs - x) / cnt).where(cnt > 0)
+        df[f"avg_{m}"] = ((ccs - xc) / (QUANT_SCALE * cnt)).where(cnt > 0)
         ew = xg.ewm(span=ewma_span, adjust=False).mean()
         df[f"ewma_{m}"] = pd.Series(ew.to_numpy(), index=df.index).groupby(
             conv, sort=False
         ).shift()
-        df[f"session_avg_{m}"] = _session_seeded_expanding(df, conv, x, m)
+        df[f"session_avg_{m}"] = _session_seeded_expanding(df, conv, xc, m)
 
     return df
 
@@ -152,7 +158,7 @@ def _rolling_mean_shifted(
 
 
 def _session_seeded_expanding(
-    df: pd.DataFrame, conv: pd.Series, x: pd.Series, m: str
+    df: pd.DataFrame, conv: pd.Series, xc: pd.Series, m: str
 ) -> pd.Series:
     """W3: per-session expanding mean with prior-session seed (ref probe 3).
 
@@ -161,14 +167,18 @@ def _session_seeded_expanding(
       row k > 0  -> (seed_s + sum(x[0..k-1])) / (1 + k),
                     seed_s = last raw value of session s-1
     Session 0 (unseeded): row 0 -> NaN, row k -> mean(x[0..k-1]).
+
+    ``xc`` is the metric pre-scaled to exact integers (x * QUANT_SCALE,
+    rinted) so every sum here is order-independent; divisions re-apply the
+    scale, producing the same doubles as a cents-exact SQL oracle.
     """
     sess = df["session_id"]
-    gcs = x.groupby([conv, sess], sort=False)
-    cs_in = gcs.cumsum() - x  # sum of strictly-prior values within session
+    gcs = xc.groupby([conv, sess], sort=False)
+    cs_in = gcs.cumsum() - xc  # sum of strictly-prior values within session
     cnt_in = df.groupby([conv, sess], sort=False).cumcount().astype("float64")
 
     agg = (
-        pd.DataFrame({"conv_id": conv, "session_id": sess, "x": x})
+        pd.DataFrame({"conv_id": conv, "session_id": sess, "x": xc})
         .groupby(["conv_id", "session_id"], sort=False)["x"]
         .agg(total="sum", n="count", last="last")
         .reset_index()
@@ -178,8 +188,8 @@ def _session_seeded_expanding(
     # final expanding value of each session (used as next session's row-0 value)
     agg["final_exp"] = np.where(
         agg["session_id"] == 0,
-        agg["total"] / agg["n"],
-        (agg["seed"] + agg["total"]) / (1.0 + agg["n"]),
+        agg["total"] / (QUANT_SCALE * agg["n"]),
+        (agg["seed"] + agg["total"]) / (QUANT_SCALE * (1.0 + agg["n"])),
     )
     agg["prev_final"] = agg.groupby("conv_id", sort=False)["final_exp"].shift()
 
@@ -197,8 +207,8 @@ def _session_seeded_expanding(
 
     out = np.where(
         sess0,
-        np.where(cnt > 0, cs / np.where(cnt > 0, cnt, 1.0), np.nan),
-        np.where(cnt > 0, (seed + cs) / (1.0 + cnt), prev_final),
+        np.where(cnt > 0, cs / (QUANT_SCALE * np.where(cnt > 0, cnt, 1.0)), np.nan),
+        np.where(cnt > 0, (seed + cs) / (QUANT_SCALE * (1.0 + cnt)), prev_final),
     )
     return pd.Series(out, index=df.index)
 

@@ -23,6 +23,7 @@ from nfl_feature_store_ray.schemas import (
     COVER_WINDOW,
     EWMA_SPAN,
     FORM_WINDOW,
+    QUANT_SCALE,
     SESSION_GAP_S,
 )
 
@@ -158,20 +159,29 @@ def _apply_window_exprs(
     ]
     lf = lf.with_columns(role_exprs)
 
+    # exact scaled-integer metric columns (schemas.QUANT_SCALE): expanding
+    # sums over rint(x*scale) are order-independent (integers are exact in
+    # float64 < 2^53) -> bit-identical to the pandas kernel and the
+    # cents-exact SQL oracles regardless of partitioning.
+    lf = lf.with_columns(
+        [(c(m).cast(pl.Float64) * QUANT_SCALE).round(0).alias(f"_c_{m}") for m in metrics]
+    )
+
     metric_exprs = []
     for m in metrics:
         x = c(m).cast(pl.Float64)
+        xc = c(f"_c_{m}")
         cnt = x.cum_count() - 1
         metric_exprs += [
             x.shift(1).over(**over).alias(f"last_{m}"),
             x.shift(1).rolling_mean(form_window, min_samples=1).over(**over).alias(f"form_{m}"),
             pl.when(cnt.over(**over) > 0)
-            .then(((x.cum_sum() - x) / cnt).over(**over))
+            .then(((xc.cum_sum() - xc) / (QUANT_SCALE * cnt)).over(**over))
             .otherwise(None)
             .alias(f"avg_{m}"),
             x.ewm_mean(span=ewma_span, adjust=False).shift(1).over(**over).alias(f"ewma_{m}"),
             # in-session prior sum / count for the seeded expanding family
-            ((x.cum_sum() - x).over("conv_id", "session_id")).alias(f"_cs_{m}"),
+            ((xc.cum_sum() - xc).over("conv_id", "session_id")).alias(f"_cs_{m}"),
             ((x.cum_count() - 1).cast(pl.Float64).over("conv_id", "session_id")).alias(
                 f"_cnt_{m}"
             ),
@@ -180,17 +190,17 @@ def _apply_window_exprs(
 
     # --- session-seeded expanding (W3): per-session aggregate + carryover --
     agg = lf.group_by(["conv_id", "session_id"], maintain_order=True).agg(
-        [c(m).cast(pl.Float64).sum().alias(f"_total_{m}") for m in metrics]
-        + [c(m).cast(pl.Float64).count().alias(f"_n_{m}") for m in metrics]
-        + [c(m).cast(pl.Float64).last().alias(f"_last_{m}") for m in metrics]
+        [c(f"_c_{m}").sum().alias(f"_total_{m}") for m in metrics]
+        + [c(f"_c_{m}").count().alias(f"_n_{m}") for m in metrics]
+        + [c(f"_c_{m}").last().alias(f"_last_{m}") for m in metrics]
     )
     seed_exprs = []
     for m in metrics:
         seed = c(f"_last_{m}").shift(1).over("conv_id")
         final = (
             pl.when(c("session_id") == 0)
-            .then(c(f"_total_{m}") / c(f"_n_{m}"))
-            .otherwise((seed + c(f"_total_{m}")) / (1.0 + c(f"_n_{m}")))
+            .then(c(f"_total_{m}") / (QUANT_SCALE * c(f"_n_{m}")))
+            .otherwise((seed + c(f"_total_{m}")) / (QUANT_SCALE * (1.0 + c(f"_n_{m}"))))
         )
         seed_exprs += [
             seed.alias(f"_seed_{m}"),
@@ -209,18 +219,21 @@ def _apply_window_exprs(
             pl.when(c("session_id") == 0)
             .then(
                 pl.when(c(f"_cnt_{m}") > 0)
-                .then(c(f"_cs_{m}") / c(f"_cnt_{m}"))
+                .then(c(f"_cs_{m}") / (QUANT_SCALE * c(f"_cnt_{m}")))
                 .otherwise(None)
             )
             .otherwise(
                 pl.when(c(f"_cnt_{m}") > 0)
-                .then((c(f"_seed_{m}") + c(f"_cs_{m}")) / (1.0 + c(f"_cnt_{m}")))
+                .then(
+                    (c(f"_seed_{m}") + c(f"_cs_{m}"))
+                    / (QUANT_SCALE * (1.0 + c(f"_cnt_{m}")))
+                )
                 .otherwise(c(f"_prevfinal_{m}"))
             )
             .alias(f"session_avg_{m}")
         )
     lf = lf.with_columns(sess_exprs)
-    drop = [f"_{p}_{m}" for m in metrics for p in ("cs", "cnt", "seed", "prevfinal")]
+    drop = [f"_{p}_{m}" for m in metrics for p in ("c", "cs", "cnt", "seed", "prevfinal")]
     return lf.drop(drop)
 
 

@@ -198,11 +198,100 @@ FROM totals ORDER BY total_value DESC, conv_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# J6: true two-sided entity-pair join — the SAME feature table joined TWICE
+# on two different key columns with suffix->prefix renames
+# (ref `event_regular_season_game.py:23-40`: home/away team features onto
+# one event row). Pairing is deterministic: per day, conversations ranked
+# by (day_value DESC, conv_id) and adjacent ranks paired (odd tail drops).
+# ---------------------------------------------------------------------------
+def q_pair_join(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
+            vc=np.rint(df["value"].to_numpy() * 100.0),
+            n=1,
+        )
+        return df.groupby(["day", "conv_id"], as_index=False).agg(
+            day_c=("vc", "sum"), n_turns=("n", "sum")
+        )
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # whole days per bucket: finalize the feature table, build the
+        # pair-event table, then join the feature table TWICE (J6 shape)
+        f = g.groupby(["day", "conv_id"], as_index=False).sum()
+        f["day_value"] = round_half_away(f["day_c"] / 100.0, 6)
+        f["n_turns"] = f["n_turns"].astype("int64")
+        f = f.drop(columns=["day_c"])
+        f = f.sort_values(
+            ["day", "day_value", "conv_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rk = f.groupby("day").cumcount()
+        ev = f[["day", "conv_id"]].assign(pair=rk // 2, side=rk % 2)
+        pairs = ev[ev["side"] == 0][["day", "pair", "conv_id"]].merge(
+            ev[ev["side"] == 1][["day", "pair", "conv_id"]],
+            on=["day", "pair"],
+            suffixes=("_home", "_away"),
+        )  # inner: odd tail conv drops
+        # join #1: home side; join #2: away side — suffix -> prefix renames
+        out = pairs.merge(
+            f.rename(columns={"conv_id": "conv_id_home"}), on=["day", "conv_id_home"]
+        ).rename(columns={"day_value": "home_day_value", "n_turns": "home_n_turns"})
+        out = out.merge(
+            f.rename(columns={"conv_id": "conv_id_away"}), on=["day", "conv_id_away"]
+        ).rename(columns={"day_value": "away_day_value", "n_turns": "away_n_turns"})
+        out["value_diff"] = round_half_away(
+            out["home_day_value"] - out["away_day_value"], 6
+        )
+        out["day"] = out["day"].astype("datetime64[us]")
+        out = out.rename(
+            columns={"conv_id_home": "home_conv_id", "conv_id_away": "away_conv_id"}
+        )
+        return out[
+            ["day", "home_conv_id", "away_conv_id", "home_day_value",
+             "home_n_turns", "away_day_value", "away_n_turns", "value_diff"]
+        ]
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, bucket_fn, key="day", sort_cols=["day", "conv_id"], num_buckets=32
+    )
+
+
+SQL_PAIR_JOIN = f"""{_T},
+daily AS (
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         SUM(ROUND(value * 100)) AS day_c, COUNT(*) AS n_turns
+  FROM t GROUP BY 1, 2
+),
+f AS (SELECT day, conv_id, ROUND(day_c / 100.0, 6) AS day_value, n_turns FROM daily),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY day_value DESC, conv_id) - 1 AS rk
+  FROM f
+),
+pairs AS (
+  SELECT h.day, h.conv_id AS home_conv_id, a.conv_id AS away_conv_id
+  FROM r h JOIN r a ON h.day = a.day AND a.rk = h.rk + 1 AND h.rk % 2 = 0
+)
+SELECT p.day, p.home_conv_id, p.away_conv_id,
+       hf.day_value AS home_day_value, hf.n_turns AS home_n_turns,
+       af.day_value AS away_day_value, af.n_turns AS away_n_turns,
+       ROUND(hf.day_value - af.day_value, 6) AS value_diff
+FROM pairs p
+JOIN f hf ON hf.day = p.day AND hf.conv_id = p.home_conv_id
+JOIN f af ON af.day = p.day AND af.conv_id = p.away_conv_id
+"""
+
+
 QUERIES = {
     "join_enrich": q_join_enrich,
     "pivot_roles": q_pivot_roles,
     "agg_career": q_agg_career,
     "topk_convs": q_topk_convs,
+    "pair_join": q_pair_join,
 }
 
 ORACLES = {
@@ -210,4 +299,5 @@ ORACLES = {
     "pivot_roles": SQL_PIVOT_ROLES,
     "agg_career": SQL_AGG_CAREER,
     "topk_convs": SQL_TOPK_CONVS,
+    "pair_join": SQL_PAIR_JOIN,
 }

@@ -650,3 +650,220 @@ FROM t
 
 QUERIES["w_lead_label"] = q_lead_label
 ORACLES["w_lead_label"] = SQL_LEAD_LABEL
+
+
+_PHASES = ("user", "assistant")
+_PHASE_COLS = [
+    f"{fam}_value_{p}" for p in _PHASES for fam in ("last", "form", "avg", "ewma")
+]
+
+
+def q_phase_windows(sf_dir: str):
+    """Per-phase (role-split) window families — the reference's
+    offense/defense fold (`event_feature_store.md:12-18`, SURVEY §1.1):
+    every metric windowed over each role's OWN subsequence, evaluated
+    point-in-time at EVERY turn (last / rolling-3 / expanding / EWMA per
+    role, strictly-prior)."""
+    ts = transcripts_from_events(sf_dir)
+    feats = window_features(ts, metrics=("value",), assign_turn_idx=True, phases=_PHASES)
+    return feats.map_batches(
+        lambda df: _round6(df[["conv_id", "turn_idx"] + _PHASE_COLS], _PHASE_COLS),
+        batch_format="pandas",
+    )
+
+
+def _phase_select(p: str) -> str:
+    return f"""
+       ROUND(LAST_VALUE(CASE WHEN role = '{p}' THEN value END IGNORE NULLS)
+             OVER pw, 6) AS last_value_{p},
+       ROUND(LAST_VALUE(CASE WHEN role = '{p}' THEN incl_form END IGNORE NULLS)
+             OVER pw, 6) AS form_value_{p},
+       ROUND(LAST_VALUE(CASE WHEN role = '{p}' THEN incl_avg END IGNORE NULLS)
+             OVER pw, 6) AS avg_value_{p},
+       ROUND(LAST_VALUE(CASE WHEN role = '{p}' THEN incl_ewma END IGNORE NULLS)
+             OVER pw, 6) AS ewma_value_{p}"""
+
+
+# Inclusive per-(conv, role) aggregates (cents-exact expanding mean, rolling
+# FORM_WINDOW, closed-form EWMA over the role's own index), propagated to
+# every turn via LAST_VALUE IGNORE NULLS over strictly-prior rows.
+SQL_PHASE_WINDOWS = f"""{_T},
+w AS (
+  SELECT conv_id, turn_idx, role, ts, _seq, value,
+         SUM(ROUND(value * 100)) OVER pr / (100.0 * COUNT(*) OVER pr) AS incl_avg,
+         AVG(value) OVER (PARTITION BY conv_id, role ORDER BY ts, _seq
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS incl_form,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, role ORDER BY ts, _seq) - 1 AS ridx
+  FROM t
+  WINDOW pr AS (PARTITION BY conv_id, role ORDER BY ts, _seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+e AS (
+  SELECT *, CASE WHEN ridx = 0 THEN value
+                 ELSE value * {EWMA_ALPHA!r} / POWER({1.0 - EWMA_ALPHA!r}, ridx) END AS ew
+  FROM w
+),
+cc AS (
+  SELECT *,
+         POWER({1.0 - EWMA_ALPHA!r}, ridx)
+           * SUM(ew) OVER (PARTITION BY conv_id, role ORDER BY ts, _seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS incl_ewma
+  FROM e
+)
+SELECT conv_id, turn_idx,{",".join(_phase_select(p) for p in _PHASES)}
+FROM cc
+WINDOW pw AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+QUERIES["w_phase_windows"] = q_phase_windows
+ORACLES["w_phase_windows"] = SQL_PHASE_WINDOWS
+
+
+def q_densify_seeded(sf_dir: str):
+    """W4 FULL semantics (SURVEY §0 probe 4): epoch-bounded dense grid with
+    PRIOR-EPOCH seed fill. Epoch = calendar month of activity (the
+    transcript analogue of the reference's season): each active (conv,
+    month) gets a dense day grid over the whole month; missing days carry
+    the last observed value WITHIN the month; leading days before the
+    month's first observation carry the PRIOR active month's final filled
+    value (cross-epoch carryover — reference: bye weeks <- last season's
+    final game). First-ever epoch's leading days stay null."""
+    ts = transcripts_from_events(sf_dir)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        daily = _daily_cents(df)
+        daily["month"] = (
+            daily["day"].to_numpy().astype("datetime64[M]").astype("datetime64[us]")
+        )
+        months = (
+            daily[["conv_id", "month"]]
+            .drop_duplicates()
+            .sort_values(["conv_id", "month"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        mo = months["month"].to_numpy().astype("datetime64[M]")
+        start_d = mo.astype("datetime64[D]")
+        n_days = ((mo + np.timedelta64(1, "M")).astype("datetime64[D]") - start_d).astype(
+            "int64"
+        )
+        total = int(n_days.sum())
+        starts = np.concatenate([[0], np.cumsum(n_days)[:-1]])
+        offs = np.arange(total) - np.repeat(starts, n_days)
+        grid = pd.DataFrame(
+            {
+                "conv_id": np.repeat(months["conv_id"].to_numpy(), n_days),
+                "month": np.repeat(months["month"].to_numpy(), n_days),
+                "day": (
+                    np.repeat(start_d, n_days) + offs.astype("timedelta64[D]")
+                ).astype("datetime64[us]"),
+            }
+        )
+        g = grid.merge(daily[["conv_id", "day", "day_c"]], on=["conv_id", "day"], how="left")
+        gk = [g["conv_id"], g["month"]]
+        g["filled_in"] = g["day_c"].groupby(gk, sort=False).ffill()
+        mf = (
+            g.groupby(["conv_id", "month"], as_index=False)["filled_in"]
+            .last()
+            .rename(columns={"filled_in": "month_final"})
+        )
+        mf["prev_final"] = mf.groupby("conv_id", sort=False)["month_final"].shift()
+        g = g.merge(mf[["conv_id", "month", "prev_final"]], on=["conv_id", "month"], how="left")
+        filled = g["filled_in"].fillna(g["prev_final"])
+        res = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "month": g["month"],
+                "day": g["day"],
+                "day_value": g["day_c"] / 100.0,
+                "filled_value": filled / 100.0,
+            }
+        )
+        return _round6(res, ["day_value", "filled_value"])
+
+    return map_conv_buckets(ts, bucket, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_DENSIFY_SEEDED = f"""{_T},
+daily AS (
+  SELECT conv_id, date_trunc('day', ts) AS day, SUM(ROUND(value * 100)) AS day_c
+  FROM t GROUP BY 1, 2
+),
+months AS (SELECT conv_id, date_trunc('month', day) AS month FROM daily GROUP BY 1, 2),
+grid AS (
+  SELECT conv_id, month,
+         unnest(generate_series(month, month + INTERVAL 1 MONTH - INTERVAL 1 DAY,
+                                INTERVAL 1 DAY)) AS day
+  FROM months
+),
+g2 AS (
+  SELECT g.conv_id, g.month, g.day, d.day_c
+  FROM grid g LEFT JOIN daily d ON d.conv_id = g.conv_id AND d.day = g.day
+),
+fin AS (
+  SELECT conv_id, month, day, day_c,
+         LAST_VALUE(day_c IGNORE NULLS)
+           OVER (PARTITION BY conv_id, month ORDER BY day) AS filled_in
+  FROM g2
+),
+mf AS (
+  SELECT conv_id, month, LAST(filled_in ORDER BY day) AS month_final
+  FROM fin GROUP BY 1, 2
+),
+pv AS (
+  SELECT conv_id, month,
+         LAG(month_final) OVER (PARTITION BY conv_id ORDER BY month) AS prev_final
+  FROM mf
+)
+SELECT f.conv_id, f.month, f.day,
+       ROUND(f.day_c / 100.0, 6) AS day_value,
+       ROUND(COALESCE(f.filled_in, p.prev_final) / 100.0, 6) AS filled_value
+FROM fin f JOIN pv p ON f.conv_id = p.conv_id AND f.month = p.month
+"""
+
+QUERIES["w_densify_seeded"] = q_densify_seeded
+ORACLES["w_densify_seeded"] = SQL_DENSIFY_SEEDED
+
+
+def q_label_split(sf_dir: str):
+    """M14/M15 + O3: label-availability DAG split -> trim -> union.
+
+    Reference shape (`event_regular_season_game.py:43-72`): rows whose
+    outcome label exists flow to the TRAIN branch; future rows (no label
+    yet) flow to the INFERENCE branch with a null label; the branches are
+    unioned back into one frame. Boundary trim (M14): the train branch
+    drops each conversation's first turn (no prior-feature context), the
+    reference's week-1 trim.
+    """
+    ts = transcripts_from_events(sf_dir)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        df = df.assign(
+            turn_idx=g.cumcount().astype("int32"),
+            last_value=round_half_away(g["value"].shift(1).astype("float64"), 6),
+            next_value=round_half_away(g["value"].shift(-1).astype("float64"), 6),
+        )
+        train = df[df["next_value"].notna() & (df["turn_idx"] > 0)].assign(branch="train")
+        infer = df[df["next_value"].isna()].assign(branch="inference")
+        out = pd.concat([train, infer], ignore_index=True)
+        return out[["conv_id", "turn_idx", "last_value", "next_value", "branch"]]
+
+    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_LABEL_SPLIT = f"""{_T},
+base AS (
+  SELECT conv_id, turn_idx,
+         ROUND(LAG(value) OVER ({_W}), 6) AS last_value,
+         ROUND(LEAD(value) OVER ({_W}), 6) AS next_value
+  FROM t
+)
+SELECT conv_id, turn_idx, last_value, next_value, 'train' AS branch
+FROM base WHERE next_value IS NOT NULL AND turn_idx > 0
+UNION ALL
+SELECT conv_id, turn_idx, last_value, NULL AS next_value, 'inference' AS branch
+FROM base WHERE next_value IS NULL
+"""
+
+QUERIES["w_label_split"] = q_label_split
+ORACLES["w_label_split"] = SQL_LABEL_SPLIT

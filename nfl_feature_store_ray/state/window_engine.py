@@ -65,6 +65,7 @@ def compute_bucket_windows(
     form_window: int = FORM_WINDOW,
     cover_window: int = COVER_WINDOW,
     ewma_span: int = EWMA_SPAN,
+    phases: tuple[str, ...] = (),
 ) -> pd.DataFrame:
     """Vectorized window kernel over ONE sorted bucket of whole conversations.
 
@@ -135,6 +136,44 @@ def compute_bucket_windows(
             conv, sort=False
         ).shift()
         df[f"session_avg_{m}"] = _session_seeded_expanding(df, conv, xc, m)
+
+    # --- per-phase (role-split) window families ---------------------------
+    # Reference fold semantics (event_feature_store.md:12-18, SURVEY §1.1):
+    # every metric is windowed over each phase's OWN subsequence, evaluated
+    # point-in-time at EVERY turn.  Shape: inclusive per-(conv, role)
+    # aggregates at the phase's rows, then shift(1)+ffill within the
+    # conversation — each row sees the aggregate at the last strictly-prior
+    # phase row (the prev_tool_idx propagation pattern above).
+    if phases:
+        role = df["role"]
+        grp = [conv, role]
+        gkey = df.groupby(grp, sort=False)
+        icnt = gkey.cumcount().astype("float64") + 1.0
+        for m in metrics:
+            x = df[m].astype("float64")
+            xc = pd.Series(np.rint(x.to_numpy() * QUANT_SCALE), index=df.index)
+            ccs = xc.groupby(grp, sort=False).cumsum()
+            iavg = ccs / (QUANT_SCALE * icnt)
+            cs = x.groupby(grp, sort=False).cumsum()
+            lo = cs.groupby(grp, sort=False).shift(form_window).fillna(0.0)
+            iform = (cs - lo) / icnt.clip(upper=form_window)
+            # groupby(two keys).ewm returns group-ordered rows ((conv, role)
+            # groups are NOT contiguous) — realign on the original index
+            iewma = x.groupby(grp, sort=False).ewm(span=ewma_span, adjust=False).mean()
+            iewma.index = iewma.index.droplevel([0, 1])
+            iewma = iewma.reindex(df.index)
+            for p in phases:
+                sel = role.eq(p)
+                for fam, series in (
+                    ("last", x), ("form", iform), ("avg", iavg), ("ewma", iewma)
+                ):
+                    tmp = series.where(sel)
+                    df[f"{fam}_{m}_{p}"] = (
+                        tmp.groupby(conv, sort=False)
+                        .shift(1)
+                        .groupby(conv, sort=False)
+                        .ffill()
+                    )
 
     return df
 
@@ -221,6 +260,7 @@ def window_features(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     derive: bool = True,
     heavy_keys: dict | None = None,
+    phases: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Distributed window engine: derive -> bucket shuffle -> per-bucket scan.
 
@@ -249,6 +289,7 @@ def window_features(
             session_gap_s=session_gap_s,
             assign_turn_idx=assign_turn_idx,
             sort=True,
+            phases=phases,
         )
 
     return bucketed.groupby(BUCKET_COL).map_groups(kern, batch_format="pyarrow")

@@ -42,6 +42,7 @@ def kernel_arrow(
     assign_turn_idx: bool = False,
     sort: bool = True,
     tie_col: str | None = None,
+    phases: tuple[str, ...] = (),
 ) -> "pa.Table":
     """Arrow-in/Arrow-out window kernel (zero-copy into polars).
 
@@ -60,7 +61,8 @@ def kernel_arrow(
         if n_dup:
             raise ValueError(f"duplicate (conv_id, turn_idx) rows in input: {n_dup}")
     out = _apply_window_exprs(
-        pl, lf, metrics, session_gap_s, assign_turn_idx, FORM_WINDOW, COVER_WINDOW, EWMA_SPAN
+        pl, lf, metrics, session_gap_s, assign_turn_idx, FORM_WINDOW, COVER_WINDOW,
+        EWMA_SPAN, phases,
     )
     return out.to_arrow()
 
@@ -73,6 +75,7 @@ def compute_bucket_windows_pl(
     form_window: int = FORM_WINDOW,
     cover_window: int = COVER_WINDOW,
     ewma_span: int = EWMA_SPAN,
+    phases: tuple[str, ...] = (),
 ) -> pd.DataFrame:
     """Vectorized window kernel over ONE sorted bucket (polars hot path).
 
@@ -82,7 +85,8 @@ def compute_bucket_windows_pl(
     pl = _pl()
     lf = pl.from_pandas(df)
     out = _apply_window_exprs(
-        pl, lf, metrics, session_gap_s, assign_turn_idx, form_window, cover_window, ewma_span
+        pl, lf, metrics, session_gap_s, assign_turn_idx, form_window, cover_window,
+        ewma_span, phases,
     )
     res = out.to_pandas()
     res["session_id"] = res["session_id"].astype("int32")
@@ -101,6 +105,7 @@ def _apply_window_exprs(
     form_window,
     cover_window,
     ewma_span,
+    phases=(),
 ):
     c = pl.col
     conv = c("conv_id")
@@ -233,6 +238,43 @@ def _apply_window_exprs(
             .alias(f"session_avg_{m}")
         )
     lf = lf.with_columns(sess_exprs)
+
+    # --- per-phase (role-split) families: inclusive per-(conv, role)
+    # aggregates, then shift(1)+forward_fill within the conversation — each
+    # row sees the aggregate at the last strictly-prior phase row (same
+    # semantics as the pandas kernel / reference fold).
+    if phases:
+        pr = {"partition_by": ["conv_id", "role"]}
+        incl_exprs = []
+        for m in metrics:
+            x = c(m).cast(pl.Float64)
+            xc = (x * QUANT_SCALE).round(0)
+            icnt = x.cum_count().cast(pl.Float64)
+            incl_exprs += [
+                (xc.cum_sum() / (QUANT_SCALE * icnt)).over(**pr).alias(f"_iavg_{m}"),
+                x.rolling_mean(form_window, min_samples=1).over(**pr).alias(f"_iform_{m}"),
+                x.ewm_mean(span=ewma_span, adjust=False).over(**pr).alias(f"_iewma_{m}"),
+            ]
+        lf = lf.with_columns(incl_exprs)
+        phase_exprs = []
+        for m in metrics:
+            for p in phases:
+                sel = c("role") == p
+                for fam, src in (
+                    ("last", c(m).cast(pl.Float64)),
+                    ("form", c(f"_iform_{m}")),
+                    ("avg", c(f"_iavg_{m}")),
+                    ("ewma", c(f"_iewma_{m}")),
+                ):
+                    phase_exprs.append(
+                        pl.when(sel).then(src).otherwise(None)
+                        .shift(1).forward_fill().over("conv_id")
+                        .alias(f"{fam}_{m}_{p}")
+                    )
+        lf = lf.with_columns(phase_exprs).drop(
+            [f"_{fam}_{m}" for m in metrics for fam in ("iavg", "iform", "iewma")]
+        )
+
     drop = [f"_{p}_{m}" for m in metrics for p in ("c", "cs", "cnt", "seed", "prevfinal")]
     return lf.drop(drop)
 

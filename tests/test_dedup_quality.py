@@ -105,3 +105,61 @@ def test_ann_ivf_recall():
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_overfull_buckets_dropped_with_count_and_log(caplog):
+    """LSH/SimHash blocking buckets over MAX_BUCKET are capped and the drop
+    count is surfaced via a warning log — never silently (module contract)."""
+    import logging
+
+    import numpy as np
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines import dedup as dd
+
+    big = dd.MAX_BUCKET + 10
+    group = pd.DataFrame(
+        {
+            "bk": np.concatenate([np.zeros(big, dtype=np.int64),
+                                  np.ones(3, dtype=np.int64)]),
+            "doc_id": np.arange(big + 3, dtype=np.int64),
+        }
+    )
+    pairs, n_dropped = dd._bucket_pairs(group, "bk")
+    assert n_dropped == 1
+    # only the small bucket's pairs survive: C(3, 2) = 3
+    assert len(pairs) == 3
+
+    with caplog.at_level(logging.WARNING):
+        dd._log_dropped_buckets("minhash-lsh", n_dropped, dd.MAX_BUCKET)
+    assert any("dropped 1 over-full" in r.message for r in caplog.records)
+
+
+def test_dedup_embedding_ivf_matches_brute_force():
+    """The IVF-cell executed path must recover the exact brute-force pair
+    set (multi-probe replication recall) on real test embeddings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nfl_feature_store_ray.pipelines.dedup import COS_T, q_dedup_embedding
+    from nfl_feature_store_ray.pipelines.similarity import _norm_rows
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_dedup_embedding(sf)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    ids = t["vec_id"].to_numpy(dtype=np.int64)
+    m = _norm_rows(np.stack(t["embedding"].to_numpy()).astype(np.float64))
+    sims = np.round(m @ m.T, 6)
+    ii, jj = np.nonzero(np.triu(sims >= COS_T, k=1))
+    a, b = ids[ii], ids[jj]
+    swap = a > b
+    want = set(zip(np.where(swap, b, a).tolist(), np.where(swap, a, b).tolist()))
+
+    have = set(zip(got["doc_id_a"].tolist(), got["doc_id_b"].tolist()))
+    assert have == want, f"missing={want - have} extra={have - want}"

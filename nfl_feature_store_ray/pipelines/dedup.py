@@ -87,14 +87,24 @@ def _explode_shingles(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _pairs_from_index(group: pd.DataFrame) -> pd.DataFrame:
+def _pairs_from_index(group: pd.DataFrame, max_df: int | None = None) -> pd.DataFrame:
     """Self-join the bucket's inverted index into candidate pair rows.
 
     ONE vectorized hash self-join on the shingle column (not a Python loop
     over posting lists); singleton shingles are dropped first, so join
-    fan-out is bounded by duplicate-shingle frequency."""
+    fan-out is bounded by duplicate-shingle frequency.
+
+    ``max_df`` caps posting-list length (stop-shingle handling): a shingle
+    appearing in more documents is skipped WITH A LOG LINE — O(df^2) pair
+    fan-out on one stop-shingle is the exact variant's 100-TB hazard. The
+    oracle-gated query runs uncapped (exact); scale deployments pass a cap
+    via ngram_jaccard_pairs(max_df=...)."""
     vc = group["sh"].value_counts()
-    hot = vc[vc >= 2].index
+    sel = vc >= 2
+    if max_df is not None:
+        _log_dropped_buckets("ngram-shingle", int((vc > max_df).sum()), max_df)
+        sel &= vc <= max_df
+    hot = vc[sel].index
     g = group[group["sh"].isin(hot)]
     if len(g) == 0:
         return pd.DataFrame(
@@ -115,12 +125,17 @@ def _finish_jaccard(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
     return df[["doc_id_a", "doc_id_b", "jaccard"]]
 
 
-def q_dedup_ngram_jaccard(sf_dir: str):
+def ngram_jaccard_pairs(sf_dir: str, max_df: int | None = None):
+    """Exact n-gram Jaccard pairs; ``max_df`` enables the stop-shingle cap
+    (approximate, logged) for scale deployments."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     exploded = docs.map_batches(_explode_shingles, batch_format="pandas")
     # shuffle on shingle hash; build pairs per posting list
     pair_partials = map_conv_buckets(
-        exploded, _pairs_from_index, key="sh", sort_cols=["sh", "doc_id"]
+        exploded,
+        lambda g: _pairs_from_index(g, max_df=max_df),
+        key="sh",
+        sort_cols=["sh", "doc_id"],
     )
 
     def finish(group: pd.DataFrame) -> pd.DataFrame:
@@ -136,6 +151,10 @@ def q_dedup_ngram_jaccard(sf_dir: str):
         sort_cols=["doc_id_a", "doc_id_b"],
         num_buckets=32,
     )
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    return ngram_jaccard_pairs(sf_dir, max_df=None)  # exact: oracle-gated
 
 
 SQL_DEDUP_NGRAM = f"""

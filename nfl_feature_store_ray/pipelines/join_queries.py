@@ -175,19 +175,25 @@ FROM t GROUP BY conv_id
 # top-k by aggregate (pinned tie-break)
 # ---------------------------------------------------------------------------
 def q_topk_convs(sf_dir: str):
-    totals = q_agg_career(sf_dir).map_batches(
-        lambda df: df[["conv_id", "total_value"]], batch_format="pandas"
-    )
-    top = totals.sort(["total_value", "conv_id"], descending=[True, False]).limit(10)
+    # per-block partial top-k + tiny driver merge (the similarity
+    # _final_topk pattern) — no global all-to-all sort over 10^9
+    # conversation totals (round-1 VERDICT minor #6)
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["conv_id", "total_value"]]
+        return df.sort_values(
+            ["total_value", "conv_id"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+
+    partials = q_agg_career(sf_dir).map_batches(partial_topk, batch_format="pandas")
 
     def add_rank(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
             ["total_value", "conv_id"], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
+        ).head(10).reset_index(drop=True)
         df["rank"] = np.arange(1, len(df) + 1, dtype="int32")
         return df
 
-    return add_rank(top.to_pandas())
+    return add_rank(partials.to_pandas())
 
 
 SQL_TOPK_CONVS = f"""{_T},
@@ -286,12 +292,59 @@ JOIN f af ON af.day = p.day AND af.conv_id = p.away_conv_id
 """
 
 
+# ---------------------------------------------------------------------------
+# J9/J10: semi-join / anti-join filters (reference `isin` masks against a
+# derived key set, `player_game.py` roster filters). On the conv-partition
+# spine the membership set is CO-LOCATED with the rows it filters (whole
+# conversations per bucket), so the semi/anti join is an in-bucket mask —
+# no broadcast, no extra shuffle.
+# ---------------------------------------------------------------------------
+def _membership_filter(sf_dir: str, keep_members: bool):
+    ts = transcripts_from_events(sf_dir)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # membership: conversation opens with tool use (tool turn among the
+        # first 3) — a predicate that splits the corpus non-trivially
+        turn_idx = g.groupby("conv_id", sort=False).cumcount()
+        members = set(g.loc[(g["role"] == "tool") & (turn_idx < 3), "conv_id"])
+        mask = g["conv_id"].isin(members)
+        sel = g[mask if keep_members else ~mask]
+        out = sel.groupby("conv_id", as_index=False).agg(n_turns=("conv_id", "size"))
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out
+
+    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+def q_semi_join(sf_dir: str):
+    return _membership_filter(sf_dir, keep_members=True)
+
+
+def q_anti_join(sf_dir: str):
+    return _membership_filter(sf_dir, keep_members=False)
+
+
+SQL_SEMI_JOIN = f"""{_T}
+SELECT conv_id, COUNT(*) AS n_turns FROM t
+WHERE conv_id IN (SELECT DISTINCT conv_id FROM t WHERE role = 'tool' AND turn_idx < 3)
+GROUP BY conv_id
+"""
+
+SQL_ANTI_JOIN = f"""{_T}
+SELECT conv_id, COUNT(*) AS n_turns FROM t
+WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM t WHERE role = 'tool' AND turn_idx < 3)
+GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "join_enrich": q_join_enrich,
     "pivot_roles": q_pivot_roles,
     "agg_career": q_agg_career,
     "topk_convs": q_topk_convs,
     "pair_join": q_pair_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
 }
 
 ORACLES = {
@@ -300,4 +353,6 @@ ORACLES = {
     "agg_career": SQL_AGG_CAREER,
     "topk_convs": SQL_TOPK_CONVS,
     "pair_join": SQL_PAIR_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
 }

@@ -49,6 +49,14 @@ def _event_day_pivot(sf_dir: str):
     return q_pivot_roles(sf_dir)
 
 
+def _turn_window_features_wide(sf_dir: str):
+    # the reference's defining wide shape (player store: 182 cols) — 300
+    # feature columns through the same engine + manifest machinery
+    from nfl_feature_store_ray.pipelines.wide import wide_features
+
+    return wide_features(sf_dir)
+
+
 # name -> (builder, partition key); fingerprint_cols=None => hash EVERY
 # column, so value changes without key changes still invalidate partitions
 FEATURE_STORE_METAS = [
@@ -57,6 +65,8 @@ FEATURE_STORE_METAS = [
     {"name": "conv_career", "builder": _conv_career,
      "key": "conv_id", "fingerprint_cols": None},
     {"name": "event_day_pivot", "builder": _event_day_pivot,
+     "key": "conv_id", "fingerprint_cols": None},
+    {"name": "turn_window_features_wide", "builder": _turn_window_features_wide,
      "key": "conv_id", "fingerprint_cols": None},
 ]
 

@@ -12,7 +12,10 @@ def test_runner_materializes_and_upserts():
     shutil.rmtree(OUT, ignore_errors=True)
     first = run_stores("/root/testdata/sf0.001", OUT, num_buckets=4)
     names = {r["store"] for r in first}
-    assert names == {"turn_window_features", "conv_career", "event_day_pivot"}
+    assert names == {
+        "turn_window_features", "conv_career", "event_day_pivot",
+        "turn_window_features_wide",
+    }
     for r in first:
         assert r["skipped"] == 0 and r["rows"] > 0
         assert len(glob.glob(f"{r['out']}/part-*.parquet")) == r["partitions"]

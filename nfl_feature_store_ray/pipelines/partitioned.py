@@ -76,6 +76,7 @@ def window_features_streaming(
     metrics: tuple[str, ...] = ("value", "text_len", "n_tokens"),
     concurrency: int = 4,
     batch_size: int = 8192,
+    phases: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Incremental streaming window job over a SORTED partitioned layout.
 
@@ -99,7 +100,7 @@ def window_features_streaming(
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=(1, concurrency),
-        fn_constructor_kwargs={"metrics": metrics},
+        fn_constructor_kwargs={"metrics": metrics, "phases": phases},
     )
 
 

@@ -52,6 +52,24 @@ _TAIL = max(FORM_WINDOW, COVER_WINDOW)
 
 
 @dataclass
+class _PhaseState:
+    """Per-(conversation, metric, role) registers for phase families.
+
+    ``prev_*`` hold the INCLUSIVE aggregates at the most recent phase row
+    seen so far — exactly the values every later row propagates until the
+    next phase row (the batch kernels' shift+ffill semantics)."""
+
+    count: int = 0  # phase rows seen
+    csum: float = 0.0  # cents sum over phase rows (exact integers)
+    tail: list = field(default_factory=list)  # last <= FORM_WINDOW raw values
+    ewma: float | None = None
+    prev_last: float = float("nan")
+    prev_form: float = float("nan")
+    prev_avg: float = float("nan")
+    prev_ewma: float = float("nan")
+
+
+@dataclass
 class _MetricState:
     tail: list = field(default_factory=list)  # last <= _TAIL raw values
     total: float = 0.0  # expanding sum
@@ -64,6 +82,8 @@ class _MetricState:
     seed: float | None = None  # last raw value of the PRIOR session
     prev_final: float | None = None  # prior session's final expanding value
     first_session: bool = True
+    # phase name -> _PhaseState (per-role window families)
+    phase: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -92,9 +112,11 @@ class StreamingWindowActor:
         self,
         metrics: tuple[str, ...] = ("value",),
         session_gap_s: int = SESSION_GAP_S,
+        phases: tuple[str, ...] = (),
     ):
         self.metric_names = metrics
         self.gap = session_gap_s
+        self.phases = phases
         self.state: dict[str, _ConvState] = {}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -118,6 +140,10 @@ class StreamingWindowActor:
         for m in self.metric_names:
             cols += [(f"{p}_{m}", "float64")
                      for p in ("last", "form", "avg", "ewma", "session_avg")]
+        for m in self.metric_names:
+            for ph in self.phases:
+                cols += [(f"{fam}_{m}_{ph}", "float64")
+                         for fam in ("last", "form", "avg", "ewma")]
         return cols
 
     # ------------------------------------------------------------------
@@ -196,6 +222,21 @@ class StreamingWindowActor:
         out["roll10_tool_rate"] = _rolling_shifted_with_prefix(
             flags, k, n, COVER_WINDOW, s.turns
         )
+
+        # per-phase in-batch propagation indices (metric-independent):
+        # lpi[i] = index of the last phase row STRICTLY before row i in
+        # this batch (-1 -> carry the register from previous batches)
+        phase_prop = {}
+        for ph in self.phases:
+            pmask = role == ph
+            marker = np.where(pmask, np.arange(n), -1)
+            lpi_incl = np.maximum.accumulate(marker)
+            lpi = np.empty(n, dtype=np.int64)
+            lpi[0] = -1
+            lpi[1:] = lpi_incl[:-1]
+            pos = np.full(n, -1, dtype=np.int64)
+            pos[np.flatnonzero(pmask)] = np.arange(int(pmask.sum()))
+            phase_prop[ph] = (pmask, lpi, pos)
 
         # --- metric families
         for m in self.metric_names:
@@ -280,6 +321,56 @@ class StreamingWindowActor:
                     ms.sess_cnt = 0
                     seg_start = bp
             out[f"session_avg_{m}"] = sa
+
+            # --- per-phase families: inclusive aggregates at phase rows,
+            # propagated to every later row via carry registers + an
+            # in-batch last-phase-row gather (batch kernels' shift+ffill)
+            for ph in self.phases:
+                pmask, lpi, pos = phase_prop[ph]
+                ps = ms.phase.setdefault(ph, _PhaseState())
+                idxs = np.flatnonzero(pmask)
+                k = len(idxs)
+                if k:
+                    xs = x[idxs]
+                    xcs = xc[idxs]
+                    cnt_i = ps.count + np.arange(1, k + 1, dtype="float64")
+                    avg_i = (ps.csum + np.cumsum(xcs)) / (QUANT_SCALE * cnt_i)
+                    ptail = np.asarray(ps.tail, dtype="float64")
+                    pall = np.concatenate([ptail, xs])
+                    kt = len(ptail)
+                    csum = np.concatenate([[0.0], np.cumsum(pall)])
+                    endpos = kt + np.arange(1, k + 1)
+                    wlen = np.minimum(cnt_i, FORM_WINDOW).astype("int64")
+                    form_i = (csum[endpos] - csum[endpos - wlen]) / wlen
+                    ew_i = np.empty(k)
+                    reg = ps.ewma
+                    for j in range(k):
+                        reg = (
+                            xs[j] if reg is None
+                            else (1 - EWMA_ALPHA) * reg + EWMA_ALPHA * xs[j]
+                        )
+                        ew_i[j] = reg
+                else:
+                    xs = avg_i = form_i = ew_i = np.empty(0)
+                sel = lpi >= 0
+                pj = pos[np.maximum(lpi, 0)]
+                for fam, incl, prev in (
+                    ("last", xs, ps.prev_last), ("form", form_i, ps.prev_form),
+                    ("avg", avg_i, ps.prev_avg), ("ewma", ew_i, ps.prev_ewma),
+                ):
+                    vals = np.full(n, prev)
+                    if k:
+                        vals[sel] = incl[pj[sel]]
+                    out[f"{fam}_{m}_{ph}"] = vals
+                if k:
+                    ps.count += k
+                    ps.csum += float(np.sum(xcs))
+                    ps.ewma = reg
+                    ps.tail = list(pall[-FORM_WINDOW:])
+                    ps.prev_last = float(xs[-1])
+                    ps.prev_form = float(form_i[-1])
+                    ps.prev_avg = float(avg_i[-1])
+                    ps.prev_ewma = float(ew_i[-1])
 
             # update registers + tail
             ms.total += float(np.sum(xc))

@@ -80,3 +80,32 @@ def test_state_is_bounded():
         assert len(s.tool_ring) <= 10
         for ms in s.metrics.values():
             assert len(ms.tail) <= 10
+
+
+@pytest.mark.parametrize("batch_size", [1, 7, 10_000])
+def test_streaming_phase_windows_match_batch(batch_size):
+    """Per-phase families carry across batch splits bit-compatibly with the
+    batch kernel (avg is cents-exact on both paths -> bit-identical)."""
+    phases = ("user", "assistant")
+    df = _sorted_frame()
+    ref = compute_bucket_windows(df.copy(), metrics=METRICS, phases=phases)
+
+    actor = StreamingWindowActor(metrics=METRICS, phases=phases)
+    outs = [
+        actor(df.iloc[i : i + batch_size]) for i in range(0, len(df), batch_size)
+    ]
+    got = pd.concat(outs, ignore_index=True)
+    assert len(got) == len(ref)
+    for m in METRICS:
+        for p in phases:
+            for fam in ("last", "form", "avg", "ewma"):
+                c = f"{fam}_{m}_{p}"
+                np.testing.assert_allclose(
+                    got[c].to_numpy(dtype="float64"),
+                    ref[c].to_numpy(dtype="float64"),
+                    rtol=1e-9, atol=1e-12, equal_nan=True,
+                    err_msg=f"{c} at batch_size={batch_size}",
+                )
+            a = got[f"avg_{m}_{p}"].to_numpy(dtype="float64")
+            b = ref[f"avg_{m}_{p}"].to_numpy(dtype="float64")
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), f"avg_{m}_{p} not exact"

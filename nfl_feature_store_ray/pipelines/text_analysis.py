@@ -23,22 +23,25 @@ def q_text_stats(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        # ''.split(' ') == [''] — one empty token, matching the oracle's
-        # string_split('', ' ') (NOT zero tokens); None stays token-free
-        toks = [t.split(" ") if t is not None else [] for t in df["text"]]
-        low = [[w.lower() for w in ts] for ts in toks]
-        n_tokens = np.array([len(ts) for ts in toks], dtype=np.int64)
-        stop = np.array(
-            [sum(1 for w in ts if w in _STOPWORDS) for ts in low], dtype=np.int64
-        )
-        uniq = np.array([len(set(ts)) for ts in low], dtype=np.int64)
-        n_chars = np.array([len(t) for t in df["text"]], dtype=np.int64)
-        avg_tok = np.array(
-            [float(np.mean([len(w) for w in ts])) if ts else np.nan for ts in toks]
-        )
+        # vectorized: one explode of the lowercased token lists, then C-path
+        # groupbys on the doc index — no per-document Python comprehensions.
+        # ''.str.split(' ') == [''] — one empty token, matching the oracle's
+        # string_split('', ' ') (NOT zero tokens); None stays token-free.
+        df = df.reset_index(drop=True)
+        text = df["text"]
+        n_chars = text.str.len().fillna(0).astype("int64")
+        low = text.str.lower().str.split(" ")
+        tok = low.explode().dropna()
+        grp = tok.groupby(level=0)
+        idx = df.index
+        n_tokens = grp.size().reindex(idx, fill_value=0).astype("int64")
+        stop = tok.isin(_STOPWORDS).groupby(level=0).sum().reindex(idx, fill_value=0)
+        uniq = grp.nunique().reindex(idx, fill_value=0)
+        avg_tok = tok.str.len().groupby(level=0).mean().reindex(idx)
+        nt = n_tokens.to_numpy(dtype="float64")
         with np.errstate(invalid="ignore", divide="ignore"):
-            stop_ratio = np.where(n_tokens > 0, stop / n_tokens, np.nan)
-            uniq_ratio = np.where(n_tokens > 0, uniq / n_tokens, np.nan)
+            stop_ratio = np.where(nt > 0, stop.to_numpy(dtype="float64") / nt, np.nan)
+            uniq_ratio = np.where(nt > 0, uniq.to_numpy(dtype="float64") / nt, np.nan)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -46,7 +49,7 @@ def q_text_stats(sf_dir: str):
                 "n_tokens": n_tokens,
                 "stop_ratio": round_half_away(stop_ratio, 6),
                 "uniq_ratio": round_half_away(uniq_ratio, 6),
-                "avg_token_len": round_half_away(avg_tok, 6),
+                "avg_token_len": round_half_away(avg_tok.to_numpy(dtype="float64"), 6),
             }
         )
 

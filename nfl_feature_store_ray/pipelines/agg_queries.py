@@ -234,24 +234,39 @@ def q1_pricing(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= cutoff].copy()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
         df["count_order"] = 1
+        # exact integer units end-to-end: price/discount/tax are 2-decimal,
+        # so every term is an exact int64 (cents, 1e-4 units for
+        # disc_price, 1e-6 units for charge). Float product sums at 1e9+
+        # magnitude accumulate summation-order error LARGER than the 4dp
+        # rounding grid (~4e-4 vs 5e-5 at sf0.1), so only exact integer
+        # sums — int64 here, HUGEINT in the oracle — make the distributed
+        # result equal the oracle's regardless of partitioning.
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        tax_c = np.rint(df["l_tax"].to_numpy() * 100.0).astype(np.int64)
+        df["price_c"] = price_c
+        df["disc_c"] = disc_c
+        df["dp_u"] = price_c * (100 - disc_c)          # 1e-4 units
+        df["ch_u"] = df["dp_u"] * (100 + tax_c)        # 1e-6 units
         return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_charge=("charge", "sum"),
-            sum_disc=("l_discount", "sum"),
+            price_c=("price_c", "sum"),
+            dp_u=("dp_u", "sum"),
+            ch_u=("ch_u", "sum"),
+            disc_c=("disc_c", "sum"),
             count_order=("count_order", "sum"),
         )
 
     def finish(group: pd.DataFrame) -> pd.DataFrame:
         df = group.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        df["sum_base_price"] = df["price_c"] / 100.0
+        df["sum_disc_price"] = df["dp_u"].astype("float64") / 1e4
+        df["sum_charge"] = df["ch_u"].astype("float64") / 1e6
         df["avg_qty"] = df["sum_qty"] / df["count_order"]
-        df["avg_price"] = df["sum_base_price"] / df["count_order"]
-        df["avg_disc"] = df["sum_disc"] / df["count_order"]
-        df = df.drop(columns=["sum_disc"])
+        df["avg_price"] = df["price_c"] / (100.0 * df["count_order"])
+        df["avg_disc"] = df["disc_c"] / (100.0 * df["count_order"])
+        df = df.drop(columns=["disc_c", "price_c", "dp_u", "ch_u"])
         df["count_order"] = df["count_order"].astype("int64")
         return _round(
             df,
@@ -269,15 +284,26 @@ def q1_pricing(sf_dir: str):
     )
 
 
+# exact integer units on both sides (engine: int64; here: BIGINT -> SUM is
+# HUGEINT-exact): price cents, disc_price in 1e-4 units, charge in 1e-6
+# units — float product sums at 1e9+ magnitude carry summation-order error
+# larger than the 4dp rounding grid, so only exact sums are order-stable
 SQL_Q1_PRICING = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 4) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_base_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0, 4)
+         AS sum_disc_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1000000.0, 4)
+         AS sum_charge,
        ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
-       ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price,
-       ROUND(SUM(l_discount) / COUNT(*), 4) AS avg_disc,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / (100.0 * COUNT(*)), 4)
+         AS avg_price,
+       ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / (100.0 * COUNT(*)), 4)
+         AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -115,7 +115,11 @@ def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
 def q_ann_cosine_topk(sf_dir: str):
     qids, qm = _load_queries(sf_dir)
     qids_ref, qmat_ref = ray.put(qids), ray.put(qm)
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # the smallish embeddings table splits into 64+ tiny blocks by default;
+    # fewer blocks cut per-block actor-dispatch overhead (see dedup.DOC_BLOCKS)
+    emb = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
+    )
     partials = emb.map_batches(
         _BatchTopK,
         batch_format="pandas",
@@ -193,7 +197,9 @@ def q_ann_ivf(sf_dir: str):
                 {"query_id": [], "neighbor_id": [], "cos_sim": []}
             )
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
+    )
     partials = emb.map_batches(IvfTopK, batch_format="pandas", concurrency=(1, 4))
     return _final_topk(partials.to_pandas(), TOP_K)
 

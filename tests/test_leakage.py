@@ -48,3 +48,31 @@ def test_prefix_determinism():
                 )
             else:
                 assert (a.to_numpy() == b.to_numpy()).all(), f"leak in {c} at cut q={q}"
+
+
+def test_prefix_determinism_phase_windows():
+    """Per-phase families are also a pure function of the strict past."""
+    phases = ("user", "assistant")
+    tbl = generate_transcripts(n_convs=25, mean_turns=12, seed=29)
+
+    def run(t):
+        return (
+            window_features(rd.from_arrow(t), metrics=METRICS, num_buckets=8,
+                            phases=phases)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    full = run(tbl)
+    ts = tbl.column("ts").to_pandas().sort_values().reset_index(drop=True)
+    cut = ts.iloc[int(len(ts) * 0.5)]
+    part = run(tbl.filter(np.asarray(tbl.column("ts").to_pandas() <= cut)))
+    ref = full[full["ts"] <= cut].reset_index(drop=True)
+    assert len(part) == len(ref)
+    cols = [f"{fam}_value_{p}" for p in phases for fam in ("last", "form", "avg", "ewma")]
+    for c in cols:
+        np.testing.assert_allclose(
+            part[c].to_numpy(float), ref[c].to_numpy(float), rtol=0, atol=0,
+            equal_nan=True, err_msg=f"leak in {c}"
+        )

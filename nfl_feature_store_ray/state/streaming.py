@@ -51,6 +51,34 @@ from nfl_feature_store_ray.schemas import (
 _TAIL = max(FORM_WINDOW, COVER_WINDOW)
 
 
+def _ewma_scan(x: np.ndarray, reg: float | None, alpha: float, chunk: int = 64):
+    """Inclusive EWMA (adjust=False) over ``x`` carrying register ``reg``.
+
+    Chunked closed form instead of a per-row Python loop:
+      z_j = b^(j+1) * reg + a * b^j * cumsum(x_t / b^t),  b = 1 - a
+    renormalized every ``chunk`` rows so 1/b^t never overflows. Returns
+    (z, reg_out) where z[j] is the EWMA AFTER consuming x[j].
+    """
+    n = len(x)
+    z = np.empty(n)
+    b = 1.0 - alpha
+    i = 0
+    if reg is None:
+        if n == 0:
+            return z, None
+        z[0] = reg = float(x[0])
+        i = 1
+    while i < n:
+        xs = x[i : i + chunk]
+        k = len(xs)
+        bj = b ** np.arange(k)
+        zc = b * bj * reg + alpha * bj * np.cumsum(xs / bj)
+        z[i : i + k] = zc
+        reg = float(zc[-1])
+        i += k
+    return z, reg
+
+
 @dataclass
 class _PhaseState:
     """Per-(conversation, metric, role) registers for phase families.
@@ -269,13 +297,14 @@ class StreamingWindowActor:
                     prior_cnt > 0, prior_sum / (QUANT_SCALE * prior_cnt), np.nan
                 )
 
-            # EWMA (register carry, recursive scan per batch)
+            # EWMA (register carry, vectorized chunked closed-form scan);
+            # output at row i is the register BEFORE consuming x[i]
+            reg_in = ms.ewma
+            z, ms.ewma = _ewma_scan(x, reg_in, EWMA_ALPHA)
             e = np.empty(n)
-            reg = ms.ewma
-            for i in range(n):
-                e[i] = np.nan if reg is None else reg
-                reg = x[i] if reg is None else (1 - EWMA_ALPHA) * reg + EWMA_ALPHA * x[i]
-            ms.ewma = reg
+            if n:
+                e[0] = np.nan if reg_in is None else reg_in
+                e[1:] = z[:-1]
             out[f"ewma_{m}"] = e
 
             # session-seeded expanding (segment loop; breaks are rare) —
@@ -342,14 +371,7 @@ class StreamingWindowActor:
                     endpos = kt + np.arange(1, k + 1)
                     wlen = np.minimum(cnt_i, FORM_WINDOW).astype("int64")
                     form_i = (csum[endpos] - csum[endpos - wlen]) / wlen
-                    ew_i = np.empty(k)
-                    reg = ps.ewma
-                    for j in range(k):
-                        reg = (
-                            xs[j] if reg is None
-                            else (1 - EWMA_ALPHA) * reg + EWMA_ALPHA * xs[j]
-                        )
-                        ew_i[j] = reg
+                    ew_i, reg = _ewma_scan(xs, ps.ewma, EWMA_ALPHA)
                 else:
                     xs = avg_i = form_i = ew_i = np.empty(0)
                 sel = lpi >= 0

@@ -151,6 +151,32 @@ def minhash_from_flat(
     return out
 
 
+def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a batch of token lists.
+
+    One C hash pass over every token of the batch, bit expansion via
+    ``np.unpackbits``, per-document ±1 accumulation via
+    ``np.add.reduceat`` — no per-token hashlib (same fix as MinHash).
+    Bit numbering differs from the scalar ``simhash64`` but Hamming
+    distances are preserved (fixed bit permutation)."""
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                         count=len(token_lists))
+    flat = [t for ts in token_lists for t in ts]
+    out = np.zeros(len(token_lists), dtype=np.uint64)
+    if not flat:
+        return out
+    h = hash_str_array(flat)  # (total,) uint64
+    bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
+    signs = bits.astype(np.int32) * 2 - 1
+    nonempty = np.flatnonzero(counts)
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    acc = np.add.reduceat(signs, offsets[nonempty], axis=0)  # (nonempty, 64)
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=1)  # (nonempty, 8)
+    out[nonempty] = packed.view(np.uint64).ravel()
+    return out
+
+
 def band_key_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
     """Vectorized LSH band keys: (docs, bands) int64, band index mixed in.
 

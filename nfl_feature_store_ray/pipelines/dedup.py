@@ -392,24 +392,32 @@ def q_dedup_simhash(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sim(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized hash pass per batch (tf.simhash64_batch)
+        toks = [tf.token_split(t.lower()) for t in df["text"]]
         return pd.DataFrame(
             {"doc_id": df["doc_id"],
-             "simhash": [tf.simhash64(tf.token_split(t.lower())) for t in df["text"]]}
+             "simhash": tf.simhash64_batch(toks).astype("int64")}
         )
 
     sigs = docs.map_batches(sim, batch_format="pandas")
 
     # pigeonhole: hamming <= HAM_T means at least one of HAM_T+1 segments
-    # matches exactly — block on each 16-bit segment
+    # matches exactly — block on each 16-bit segment (vectorized explode)
     def explode_segments(df: pd.DataFrame) -> pd.DataFrame:
         segs = HAM_T + 1
         width = 64 // segs
-        rows = []
-        for doc_id, h in zip(df["doc_id"], df["simhash"]):
-            for s in range(segs):
-                seg_val = (h >> (s * width)) & ((1 << width) - 1)
-                rows.append((doc_id, s * (1 << width) + seg_val, h))
-        return pd.DataFrame(rows, columns=["doc_id", "seg_key", "simhash"])
+        h = df["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        n = len(h)
+        s = np.arange(segs, dtype=np.uint64)
+        seg_val = (h[:, None] >> (s[None, :] * np.uint64(width))) & np.uint64(
+            (1 << width) - 1
+        )
+        key = (s[None, :] * np.uint64(1 << width) + seg_val).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), segs),
+             "seg_key": key.ravel(),
+             "simhash": np.repeat(h.view(np.int64), segs)}
+        )
 
     exploded = sigs.map_batches(explode_segments, batch_format="pandas")
 

@@ -152,7 +152,12 @@ class StreamingWindowActor:
         for conv_id, g in df.groupby("conv_id", sort=False):
             outs.append(self._run_conv(conv_id, g))
         if outs:
-            return pd.concat(outs, ignore_index=True)
+            # one DataFrame per BATCH (column-wise concat of per-conv
+            # arrays), not one per conversation — frame construction was a
+            # profiled hot spot at many conversations per batch
+            return pd.DataFrame(
+                {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+            )
         # empty batch: emit the OUTPUT schema, not the input schema, so a
         # zero-row block can't wedge the downstream schema check
         return pd.DataFrame({c: pd.Series(dtype=d) for c, d in self._output_schema()})
@@ -416,7 +421,7 @@ class StreamingWindowActor:
                 -COVER_WINDOW:
             ]
         )
-        return pd.DataFrame(out)
+        return out
 
 
 def _rolling_shifted_with_prefix(

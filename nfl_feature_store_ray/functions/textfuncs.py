@@ -151,6 +151,26 @@ def minhash_from_flat(
     return out
 
 
+def rolling_fingerprint_batch(
+    token_lists: list[list[str]], base: int = 1_000_003
+) -> np.ndarray:
+    """Batch rolling fingerprints: tokens hashed in ONE vectorized pass,
+    then a cheap integer Horner per document (the per-token hashlib call
+    was the cost, not the modular arithmetic)."""
+    counts = [len(t) for t in token_lists]
+    flat = [t for ts in token_lists for t in ts]
+    h = hash61_array(flat).tolist()
+    out = np.empty(len(token_lists), dtype=np.int64)
+    i = 0
+    for d, c in enumerate(counts):
+        acc = 0
+        for t in h[i : i + c]:
+            acc = (acc * base + t) % _MERSENNE61
+        out[d] = acc
+        i += c
+    return out
+
+
 def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
     """Vectorized 64-bit SimHash for a batch of token lists.
 

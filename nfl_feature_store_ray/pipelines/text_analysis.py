@@ -132,13 +132,12 @@ def q_doc_fingerprint(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [tf.token_split(t.lower()) for t in df["text"]]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "fingerprint": [
-                    np.int64(tf.rolling_fingerprint(tf.token_split(t.lower())) >> 2)
-                    for t in df["text"]
-                ],
+                # batch-hashed tokens, cheap integer Horner per doc
+                "fingerprint": tf.rolling_fingerprint_batch(toks) >> 2,
             }
         )
 

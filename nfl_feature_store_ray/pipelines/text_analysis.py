@@ -80,17 +80,22 @@ class LangId:
         self.markers = {k: frozenset(v) for k, v in tf.LANG_MARKERS.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # one explode of the token lists, then an isin + C-path groupby per
+        # language — no per-token Python loops
+        df = df.reset_index(drop=True)
+        tok = df["text"].str.lower().str.split(" ").explode().dropna()
         out = {"doc_id": df["doc_id"]}
-        toks = [[w.lower() for w in (t.split(" ") if t else [])] for t in df["text"]]
         scores = {}
         for lang, mk in self.markers.items():
-            scores[lang] = np.array(
-                [sum(1 for w in ts if w in mk) for ts in toks], dtype=np.int64
+            sc = (
+                tok.isin(mk).groupby(level=0).sum()
+                .reindex(df.index, fill_value=0).astype("int64").to_numpy()
             )
-            out[f"score_{lang}"] = scores[lang]
+            scores[lang] = sc
+            out[f"score_{lang}"] = sc
         mat = np.stack([scores[lang] for lang in tf.LANGS], axis=1)
         best = mat.argmax(axis=1)  # argmax: first (lexicographic) on ties
-        out["pred_lang"] = [tf.LANGS[i] for i in best]
+        out["pred_lang"] = np.asarray(tf.LANGS, dtype=object)[best]
         return pd.DataFrame(out)
 
 

@@ -120,6 +120,16 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         return time.perf_counter() - t0
 
     timings["window_features_streaming"] = round(min(stream_job(), stream_job()), 3)
+
+    def wide_part_job():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        window_features_partitioned(
+            part_dir, wide=True, phases=("user", "assistant")
+        ).write_parquet(out_dir)
+        return time.perf_counter() - t0
+
+    timings["wide_partitioned_300col"] = round(min(wide_part_job(), wide_part_job()), 3)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # wide fan-out proof (reference player store = 182 cols; this is 300):

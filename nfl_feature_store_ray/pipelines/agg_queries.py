@@ -217,6 +217,9 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 def q1_pricing(sf_dir: str):
     tune_context()
+    import pyarrow.dataset as pads
+
+    cutoff = pd.Timestamp("1998-09-02")
     li = read_table(
         sf_dir,
         "lineitem",
@@ -229,8 +232,11 @@ def q1_pricing(sf_dir: str):
             "l_tax",
             "l_shipdate",
         ],
+        # row-group predicate pushdown: only groups whose shipdate range
+        # intersects the cutoff leave storage; the exact per-row filter
+        # below still applies (pushdown is a coarse pre-filter)
+        filter=pads.field("l_shipdate") <= pads.scalar(cutoff),
     )
-    cutoff = pd.Timestamp("1998-09-02")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= cutoff].copy()

@@ -263,6 +263,12 @@ def _verify_pairs_distributed(sf_dir: str, cand, threshold: float):
     array as a single cell), not one row per shingle — ~50x fewer rows
     through each exchange; the per-pair Jaccard is a sorted-array
     intersection in the final bucket.
+
+    The per-doc list table is materialized once because it feeds both
+    joins; it lives in the object store (spillable), never on the driver.
+    At 100 TB, persist it instead as a partitioned parquet intermediate
+    (ingest_partitioned) so the two joins re-read from storage and a
+    resumed run skips the explode entirely.
     """
     docs = read_table(
         sf_dir, "documents", columns=["doc_id", "text"], override_num_blocks=DOC_BLOCKS

@@ -163,3 +163,30 @@ def test_dedup_embedding_ivf_matches_brute_force():
 
     have = set(zip(got["doc_id_a"].tolist(), got["doc_id_b"].tolist()))
     assert have == want, f"missing={want - have} extra={have - want}"
+
+
+def test_ngram_max_df_cap_drops_stop_shingles(caplog):
+    """The capped exact-ngram variant skips posting lists longer than
+    max_df and logs the drop; pair output is a subset of the uncapped."""
+    import logging
+
+    import numpy as np
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines import dedup as dd
+
+    # a stop-shingle appearing in 6 docs + a true near-dup pair
+    group = pd.DataFrame(
+        {
+            "sh": np.array([1] * 6 + [2, 2, 3, 3], dtype=np.int64),
+            "doc_id": np.array([1, 2, 3, 4, 5, 6, 7, 8, 7, 8], dtype=np.int64),
+            "n_sh": np.array([10] * 6 + [2, 2, 2, 2], dtype=np.int64),
+        }
+    )
+    uncapped = dd._pairs_from_index(group.copy())
+    with caplog.at_level(logging.WARNING):
+        capped = dd._pairs_from_index(group.copy(), max_df=4)
+    # the 6-doc stop-shingle contributes C(6,2)=15 pairs uncapped, 0 capped
+    assert len(uncapped) == 15 + 1  # 15 stop pairs + (7,8) sharing 2 shingles
+    assert len(capped) == 1
+    assert any("ngram-shingle" in r.message for r in caplog.records)

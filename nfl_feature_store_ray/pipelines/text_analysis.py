@@ -149,6 +149,55 @@ def q_doc_fingerprint(sf_dir: str):
     return docs.map_batches(fp, batch_format="pandas")
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_quantile_tokens(sf_dir: str):
+    """EXACT distributed quantiles of the per-document token count via
+    bounded-domain histograms — the scale-right quantile shape: token
+    counts are small ints, so each batch emits one tiny bincount partial
+    and the merge is O(domain), with NO global sort (the naive
+    ds.sort+index plan is an all-to-all at 10^9 docs). Selection rule
+    matches DuckDB quantile_disc: index = floor(q * (n - 1))."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        nt = np.where(
+            t.str.len().to_numpy() > 0, t.str.count(" ").to_numpy() + 1, 0
+        ).astype(np.int64)
+        bc = np.bincount(nt)
+        nz = np.flatnonzero(bc)
+        return pd.DataFrame({"n_tokens": nz.astype(np.int64), "cnt": bc[nz].astype(np.int64)})
+
+    parts = docs.map_batches(hist, batch_format="pandas").to_pandas()
+    h = parts.groupby("n_tokens", as_index=False)["cnt"].sum().sort_values("n_tokens")
+    vals = h["n_tokens"].to_numpy()
+    cum = h["cnt"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in QUANTILES:
+        idx = int(np.floor(q * (n - 1)))  # duckdb quantile_disc selection
+        pos = int(np.searchsorted(cum, idx + 1))
+        rows.append({"q": q, "n_tokens_q": int(vals[pos])})
+    return pd.DataFrame(rows)
+
+
+_WS_TOKENS = """
+WITH ws AS (
+  SELECT CASE WHEN length(coalesce(text, '')) > 0
+              THEN length(text) - length(replace(text, ' ', '')) + 1
+              ELSE 0 END AS n_tokens
+  FROM documents
+)
+"""
+
+# quantile_disc takes only constant parameters -> one SELECT per q
+SQL_QUANTILE_TOKENS = _WS_TOKENS + "\nUNION ALL\n".join(
+    f"SELECT {q} AS q, CAST(quantile_disc(n_tokens, {q}) AS BIGINT) AS n_tokens_q FROM ws"
+    for q in QUANTILES
+)
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -211,3 +260,6 @@ FROM documents
 
 QUERIES["token_counts"] = q_token_counts
 ORACLES["token_counts"] = SQL_TOKEN_COUNTS
+
+QUERIES["quantile_tokens"] = q_quantile_tokens
+ORACLES["quantile_tokens"] = SQL_QUANTILE_TOKENS

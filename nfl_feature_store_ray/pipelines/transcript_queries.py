@@ -867,3 +867,38 @@ FROM base WHERE next_value IS NULL
 
 QUERIES["w_label_split"] = q_label_split
 ORACLES["w_label_split"] = SQL_LABEL_SPLIT
+
+
+def q_distinct_convs_day(sf_dir: str):
+    """COUNT(DISTINCT) at scale: per-batch PARTIAL distinct (each batch
+    ships at most one (day, conv) row per pair it saw), then one day-keyed
+    shuffle where the bucket finishes the distinct and counts — never a
+    row-level all-to-all of the raw turns."""
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].astype("datetime64[us]").dt.floor("D"))
+        return df[["day", "conv_id"]].drop_duplicates()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["day", "conv_id"])
+            .groupby("day", as_index=False)
+            .agg(n_convs=("conv_id", "size"))
+        )
+        out["n_convs"] = out["n_convs"].astype("int64")
+        out["day"] = out["day"].astype("datetime64[us]")
+        return out
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(partials, final, key="day", sort_cols=["day", "conv_id"],
+                            num_buckets=32)
+
+
+SQL_DISTINCT_CONVS_DAY = f"""{_T}
+SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT conv_id) AS n_convs
+FROM t GROUP BY 1
+"""
+
+QUERIES["distinct_convs_day"] = q_distinct_convs_day
+ORACLES["distinct_convs_day"] = SQL_DISTINCT_CONVS_DAY

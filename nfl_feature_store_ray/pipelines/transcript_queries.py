@@ -902,3 +902,51 @@ FROM t GROUP BY 1
 
 QUERIES["distinct_convs_day"] = q_distinct_convs_day
 ORACLES["distinct_convs_day"] = SQL_DISTINCT_CONVS_DAY
+
+
+HLL_P = 10  # 2^10 = 1024 registers -> ~3.2% standard error
+
+
+def approx_distinct_convs(sf_dir: str) -> float:
+    """HyperLogLog distinct-conversation estimate — the sketch shape for
+    cardinalities where even one row per distinct key is too much: each
+    batch emits its 1024 register maxima (a tiny fixed-size partial,
+    independent of batch cardinality), the driver max-merges them, and the
+    estimate needs NO shuffle at all. Accuracy pinned by a quality test
+    vs the exact count (rel. error well inside 3 sigma = ~10%).
+
+    No SQL oracle (approximate by construction) and not registered as a
+    driver query — the exact `distinct_convs_day` is the gated variant.
+    """
+    import pandas as pd  # noqa: F811 — local alias for the closure
+
+    ts = transcripts_from_events(sf_dir)
+    m = 1 << HLL_P
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["conv_id"], index=False, hash_key="nfl_fs_hll_sketch"[:16]
+        ).to_numpy(dtype=np.uint64)
+        reg_ix = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rest = h << np.uint64(HLL_P)
+        # rank = leading zeros of the remaining 64-P bits + 1
+        lz = np.full(len(h), 64 - HLL_P, dtype=np.int64)
+        nz = rest != 0
+        bits = np.unpackbits(rest[nz].view(np.uint8)).reshape(-1, 8, 8)[:, ::-1, :]
+        lz[nz] = bits.reshape(-1, 64).argmax(axis=1)
+        rank = np.minimum(lz, 64 - HLL_P) + 1
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, reg_ix, rank)
+        nzr = np.flatnonzero(regs)
+        return pd.DataFrame({"reg": nzr, "rank": regs[nzr]})
+
+    parts = ts.map_batches(partial, batch_format="pandas").to_pandas()
+    regs = np.zeros(m, dtype=np.int64)
+    if len(parts):
+        np.maximum.at(regs, parts["reg"].to_numpy(), parts["rank"].to_numpy())
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -regs)
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:  # small-range linear counting correction
+        est = m * np.log(m / zeros)
+    return float(est)

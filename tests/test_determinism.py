@@ -53,3 +53,24 @@ def test_invariant_to_partitioning_and_order():
         window_features(rd.from_arrow(rev), metrics=METRICS, num_buckets=8).to_pandas()
     )
     _assert_same(base, alt_order)
+
+
+def test_hll_approx_distinct_accuracy():
+    """HyperLogLog conversation-cardinality estimate within 10% of exact
+    (1024 registers ~ 3.2% sigma; small-range linear counting applies at
+    sf0.001), and deterministic across runs."""
+    import duckdb
+
+    from nfl_feature_store_ray.pipelines.transcript_queries import approx_distinct_convs
+    from nfl_feature_store_ray.sources.transcripts import TRANSCRIPTS_FROM_EVENTS_SQL
+
+    sf = "/root/testdata/sf0.001"
+    est1 = approx_distinct_convs(sf)
+    est2 = approx_distinct_convs(sf)
+    assert est1 == est2  # deterministic sketch
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    exact = con.execute(
+        f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) SELECT COUNT(DISTINCT conv_id) FROM t"
+    ).fetchone()[0]
+    assert abs(est1 - exact) / exact < 0.10, (est1, exact)

@@ -1,17 +1,18 @@
 """Deterministic text kernels: shingling, MinHash, SimHash, fingerprints,
 token stats, language-ID scoring.
 
-All hashes are seeded/deterministic (blake2b with fixed parameters, or
-fixed multiply-add permutations mod a Mersenne prime) so every pipeline is
-reproducible across runs, processes, and cluster sizes. These run inside
-``map_batches`` actor-pool stages; per-token work is Python-level but
-amortized per batch (the scale path is bounded by shingle explosion, not
-tokenization).
+All hashes are seeded/deterministic (pandas' SipHash C kernel with a
+fixed 16-byte key, or fixed multiply-add permutations mod a Mersenne
+prime) so every pipeline is reproducible across runs, processes, and
+cluster sizes. Every kernel is BATCH-vectorized: strings are hashed in
+one C pass per batch (hash_str_array), signatures via broadcast +
+segment-min (minhash_from_flat), band keys via polynomial mixes
+(band_key_matrix), SimHash via unpackbits + reduceat (simhash64_batch) —
+no per-token or per-shingle Python hashing anywhere.
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 
@@ -32,19 +33,6 @@ def shingle_set(text: str, k: int = 3) -> set[str]:
     return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
 
 
-def hash64(s: str) -> int:
-    """Stable 61-bit hash of a string (blake2b-8, mod Mersenne-61)."""
-    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
-    return int.from_bytes(h, "little") % _MERSENNE61
-
-
-def hash31(s: str) -> int:
-    """Stable 31-bit shingle hash for MinHash (keeps (a*x+b) inside uint64).
-
-    ~1e5 distinct shingles -> a handful of birthday collisions, harmless
-    for an approximate sketch."""
-    h = hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest()
-    return int.from_bytes(h, "little") % _MERSENNE31
 
 
 def minhash_params(num_perm: int = 128, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
@@ -54,38 +42,8 @@ def minhash_params(num_perm: int = 128, seed: int = 1234) -> tuple[np.ndarray, n
     return a, b
 
 
-def minhash_signature_matrix(
-    hash_lists: list[np.ndarray], a: np.ndarray, b: np.ndarray
-) -> np.ndarray:
-    """Batch MinHash: one signature row per document.
-
-    Fully vectorized uint64 arithmetic: a, b, x < 2^31 so a*x + b < 2^62
-    never overflows; one (shingles x perms) broadcast + column-min per
-    document. Empty documents get the sentinel signature p-1."""
-    num_perm = len(a)
-    p = np.uint64(_MERSENNE31)
-    out = np.full((len(hash_lists), num_perm), _MERSENNE31 - 1, dtype=np.uint64)
-    for d, hs in enumerate(hash_lists):
-        if len(hs) == 0:
-            continue
-        x = hs.astype(np.uint64)[:, None]  # (s, 1)
-        v = (a[None, :] * x + b[None, :]) % p  # (s, perms)
-        out[d] = v.min(axis=0)
-    return out
 
 
-def band_keys(sig: np.ndarray, bands: int) -> list[int]:
-    """LSH band bucket keys: hash of each contiguous signature slice."""
-    r = len(sig) // bands
-    keys = []
-    for bi in range(bands):
-        chunk = sig[bi * r : (bi + 1) * r].tobytes()
-        h = hashlib.blake2b(chunk, digest_size=8, person=b"lshband_").digest()
-        keys.append(int.from_bytes(h, "little") >> 1)  # non-negative int64
-    return keys
-
-
-# --- vectorized batch variants (the hot-path kernels) ----------------------
 _HASH_KEY16 = "nfl_fs_text_16b!"  # pd.util.hash_array key: EXACTLY 16 bytes
 
 
@@ -93,8 +51,8 @@ def hash_str_array(strings: list[str] | np.ndarray) -> np.ndarray:
     """Vectorized stable 64-bit hash of a string array (pandas SipHash C
     kernel, fixed key — deterministic across runs/processes/machines).
 
-    Replaces one hashlib.blake2b call per string (the round-1 MinHash
-    hot spot, VERDICT #3): one C pass over the whole batch instead.
+    One C pass over the whole batch — replaces the round-1 per-string
+    hashlib.blake2b calls (the measured MinHash hot spot).
     """
     import pandas as pd
 
@@ -177,8 +135,7 @@ def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
     One C hash pass over every token of the batch, bit expansion via
     ``np.unpackbits``, per-document ±1 accumulation via
     ``np.add.reduceat`` — no per-token hashlib (same fix as MinHash).
-    Bit numbering differs from the scalar ``simhash64`` but Hamming
-    distances are preserved (fixed bit permutation)."""
+    Hamming distances are invariant to the (fixed) bit numbering."""
     counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
                          count=len(token_lists))
     flat = [t for ts in token_lists for t in ts]
@@ -218,35 +175,6 @@ def band_key_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
     return (acc1.astype(np.int64) << np.int64(31)) | acc2.astype(np.int64)
 
 
-def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over the token multiset."""
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8, person=b"simhash_").digest(),
-            "little",
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
-
-
-def hamming64(a: int, b: int) -> int:
-    return bin(a ^ b).count("1")
-
-
-def rolling_fingerprint(tokens: list[str], base: int = 1_000_003) -> int:
-    """Polynomial rolling hash of the token-hash sequence mod Mersenne-61."""
-    acc = 0
-    for t in tokens:
-        acc = (acc * base + hash64(t)) % _MERSENNE61
-    return acc
-
-
 # --- language-ID marker lists (deterministic heuristic; SQL-mirrored) ------
 LANG_MARKERS = {
     "de": ("der", "die", "das", "und", "nicht", "ist"),
@@ -258,18 +186,3 @@ LANG_MARKERS = {
 LANGS = tuple(sorted(LANG_MARKERS))  # de, en, es, fr, zh — tie-break order
 
 
-def lang_scores(tokens: list[str]) -> dict[str, int]:
-    low = [t.lower() for t in tokens]
-    return {
-        lang: sum(1 for t in low if t in set(markers))
-        for lang, markers in LANG_MARKERS.items()
-    }
-
-
-def predict_lang(tokens: list[str]) -> str:
-    scores = lang_scores(tokens)
-    best = max(scores.values())
-    for lang in LANGS:  # lexicographic-first on ties (pinned, SQL-mirrored)
-        if scores[lang] == best:
-            return lang
-    return "en"

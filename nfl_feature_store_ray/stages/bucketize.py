@@ -19,8 +19,10 @@ Skew: a conversation can never be split (windows are prefix-sequential per
 conversation), so the worst-case bucket is max(total/B, hottest_conv).
 Hot-key salting therefore operates at the bucket level — raise B — and a
 single pathological conversation is bounded by the reading's
-`target_max_block_size` spill path. (Two-pass prefix-aggregate chaining for
-a conversation larger than a worker's heap is documented future work.)
+`target_max_block_size` spill path. A conversation larger than a worker's
+heap runs through `state.streaming.StreamingWindowActor` instead: O(tail +
+registers) carry state per conversation, ordered batches, same features
+(equality pinned at every batch split by tests/test_streaming.py).
 
 Reference analogue: O1 global sort before windowing
 (`/root/reference/src/pumps/player_game.py:551`) — replaced by

@@ -23,6 +23,7 @@ def oracle_windows(
     df: pd.DataFrame,
     metrics: tuple[str, ...] = ("value",),
     session_gap_s: int = SESSION_GAP_S,
+    phases: tuple[str, ...] = (),
 ) -> pd.DataFrame:
     """Row-loop reference implementation over a transcript frame.
 
@@ -47,6 +48,10 @@ def oracle_windows(
         sess_seed: dict[str, float | None] = {m: None for m in metrics}
         sess_prev_final: dict[str, float | None] = {m: None for m in metrics}
         first_session = True
+        # per-phase histories: features at row i aggregate the phase rows
+        # STRICTLY before i (updated post-emission like everything else)
+        phist: dict = {m: {p: [] for p in phases} for m in metrics}
+        pewma: dict = {m: {p: None for p in phases} for m in metrics}
 
         for i, (_, row) in enumerate(grp.iterrows()):
             rec = {"conv_id": conv_id, "turn_idx": row["turn_idx"], "ts": row["ts"]}
@@ -96,6 +101,15 @@ def oracle_windows(
                         rec[f"session_avg_{m}"] = sess_prev_final[m]
                     else:
                         rec[f"session_avg_{m}"] = (sess_seed[m] + sum(sv)) / (1.0 + len(sv))
+                for p in phases:
+                    ph = phist[m][p]
+                    rec[f"last_{m}_{p}"] = ph[-1] if ph else np.nan
+                    pf = ph[-FORM_WINDOW:]
+                    rec[f"form_{m}_{p}"] = float(np.mean(pf)) if pf else np.nan
+                    rec[f"avg_{m}_{p}"] = float(np.mean(ph)) if ph else np.nan
+                    rec[f"ewma_{m}_{p}"] = (
+                        np.nan if pewma[m][p] is None else pewma[m][p]
+                    )
 
             # ---- update state with the CURRENT row (post-emission: shift) --
             role = row["role"]
@@ -109,6 +123,12 @@ def oracle_windows(
                 hist[m].append(v)
                 sess_vals[m].append(v)
                 ewma[m] = v if ewma[m] is None else (1 - EWMA_ALPHA) * ewma[m] + EWMA_ALPHA * v
+                if role in phases:
+                    phist[m][role].append(v)
+                    pewma[m][role] = (
+                        v if pewma[m][role] is None
+                        else (1 - EWMA_ALPHA) * pewma[m][role] + EWMA_ALPHA * v
+                    )
             prev_ts = row["ts"]
             session_turn += 1
             out_rows.append(rec)

@@ -131,3 +131,21 @@ def test_phase_windows_point_in_time():
         out["avg_value_user"].to_numpy(), [np.nan, 10.0, 10.0, 20.0, 20.0],
         equal_nan=True,
     )
+
+
+def test_phase_windows_vs_naive_oracle(synth):
+    """Engine per-phase families vs the row-loop oracle (independent of
+    both vectorized kernels)."""
+    from tests.oracle import assert_feature_parity, oracle_windows
+
+    phases = ("user", "assistant")
+    ds = rd.from_arrow(synth)
+    eng = window_features(ds, metrics=METRICS, num_buckets=8, phases=phases).to_pandas()
+    df = synth.to_pandas()
+    df["text_len"] = df["text"].str.len()
+    ora = oracle_windows(df, metrics=METRICS, phases=phases)
+    cols = ["conv_id", "turn_idx"] + [
+        f"{fam}_{m}_{p}" for m in METRICS for p in phases
+        for fam in ("last", "form", "avg", "ewma")
+    ]
+    assert_feature_parity(eng[cols], ora[cols])

@@ -904,6 +904,70 @@ QUERIES["distinct_convs_day"] = q_distinct_convs_day
 ORACLES["distinct_convs_day"] = SQL_DISTINCT_CONVS_DAY
 
 
+def q_asof_daily(sf_dir: str):
+    """GENERIC two-dataset as-of join through the driver gate (J7/W8 —
+    w_asof_checkpoint covers only the self-as-of case): every turn is
+    backfilled with the conversation's latest COMPLETE-day value summary.
+    Right side = per-(conv, day) cents-exact sums stamped available at the
+    NEXT day's start; the strict backward join (t' < t) then guarantees a
+    turn only ever sees fully-closed days — zero leakage by construction.
+    """
+    from nfl_feature_store_ray.state.asof import asof_join
+
+    ts = transcripts_from_events(sf_dir)
+
+    left = ts.map_batches(
+        lambda df: df[["conv_id", "_seq", "ts"]], batch_format="pandas"
+    )
+
+    def daily_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
+            vc=np.rint(df["value"].to_numpy() * 100.0),
+        )
+        return df.groupby(["conv_id", "day"], as_index=False).agg(day_c=("vc", "sum"))
+
+    def daily_final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["conv_id", "day"], as_index=False)["day_c"].sum()
+        return pd.DataFrame(
+            {
+                "conv_id": d["conv_id"],
+                # summary becomes available when its day CLOSES
+                "ts": (d["day"] + pd.Timedelta(days=1)).astype("datetime64[us]"),
+                "day_value": round_half_away(d["day_c"] / 100.0, 6),
+            }
+        )
+
+    right = map_conv_buckets(
+        ts.map_batches(daily_partial, batch_format="pandas"),
+        daily_final,
+        key="conv_id",
+        sort_cols=["conv_id", "day"],
+    )
+
+    joined = asof_join(left, right, key="conv_id", on="ts", allow_exact_matches=False)
+    return joined.map_batches(
+        lambda df: df[["conv_id", "_seq", "day_value"]].rename(
+            columns={"day_value": "prev_day_value"}
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_ASOF_DAILY = f"""{_T},
+daily AS (
+  SELECT conv_id, date_trunc('day', ts) + INTERVAL 1 DAY AS sts,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value
+  FROM t GROUP BY conv_id, date_trunc('day', ts)
+)
+SELECT t.conv_id, t._seq, d.day_value AS prev_day_value
+FROM t ASOF LEFT JOIN daily d ON t.conv_id = d.conv_id AND t.ts > d.sts
+"""
+
+QUERIES["asof_daily"] = q_asof_daily
+ORACLES["asof_daily"] = SQL_ASOF_DAILY
+
+
 HLL_P = 10  # 2^10 = 1024 registers -> ~3.2% standard error
 
 

@@ -968,6 +968,66 @@ QUERIES["asof_daily"] = q_asof_daily
 ORACLES["asof_daily"] = SQL_ASOF_DAILY
 
 
+SLIDE_S = 24 * 3600  # sliding event-time window width
+
+
+def q_sliding_window(sf_dir: str):
+    """TIME-RANGE sliding window (vs the row-based W2/W6 frames): at each
+    turn, count and cents-exact sum of the conversation's OTHER turns in
+    the trailing 24h window [t - 24h, t] (equal-ts peers included, self
+    excluded — RANGE-frame semantics). Per bucket this is two vectorized
+    searchsorteds + a cumsum difference per conversation, O(rows)."""
+    ts = transcripts_from_events(sf_dir)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["conv_id"]
+        t_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vc = np.rint(df["value"].to_numpy() * 100.0)
+        # NO per-conversation loop: rebase timestamps to the bucket minimum
+        # and offset each conversation into its own disjoint band sized to
+        # (observed span + window + 1), then ONE global searchsorted pair +
+        # cumsum difference serves every conversation (a query point can
+        # never cross bands). Band * n_convs stays far inside int64: a
+        # 10-year span is ~2^48 us, leaving room for ~32k convs per bucket;
+        # bucket counts are sized well below that.
+        ca = conv.to_numpy()
+        new = np.concatenate([[True], ca[1:] != ca[:-1]])
+        ordinal = np.cumsum(new) - 1
+        slide_us = SLIDE_S * 1_000_000
+        rel = t_us - t_us.min() if len(t_us) else t_us
+        band = np.int64((int(rel.max()) if len(rel) else 0) + slide_us + 1)
+        assert int(ordinal[-1] if len(ordinal) else 0) * int(band) < (1 << 62), \
+            "sliding-window band overflow: split the bucket (raise num_buckets)"
+        t_adj = ordinal.astype(np.int64) * band + rel
+        cum = np.concatenate([[0.0], np.cumsum(vc)])
+        lo = np.searchsorted(t_adj, t_adj - slide_us, side="left")
+        hi = np.searchsorted(t_adj, t_adj, side="right")
+        g = df.groupby("conv_id", sort=False).cumcount()
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": g.astype("int32"),
+                "n_24h": (hi - lo - 1).astype("int64"),
+                "sum_24h": round_half_away((cum[hi] - cum[lo] - vc) / 100.0, 6),
+            }
+        )
+
+    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_SLIDING_WINDOW = f"""{_T}
+SELECT conv_id, turn_idx,
+       COUNT(*) OVER w - 1 AS n_24h,
+       ROUND((SUM(ROUND(value * 100)) OVER w - ROUND(value * 100)) / 100.0, 6) AS sum_24h
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {SLIDE_S} SECONDS PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["w_sliding_window"] = q_sliding_window
+ORACLES["w_sliding_window"] = SQL_SLIDING_WINDOW
+
+
 HLL_P = 10  # 2^10 = 1024 registers -> ~3.2% standard error
 
 

@@ -143,3 +143,72 @@ class FrameSampler:
 
 def sample_frames(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# driver-gated binary-plumbing query over real testdata: documents' UTF-8
+# bytes stand in for opaque payloads (the codecs are stubbed, but the
+# binary schema + actor pool + frame arithmetic are the real pipeline)
+# ---------------------------------------------------------------------------
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def q_media_stats(sf_dir: str):
+    """Binary payload stats through the multimodal plumbing: documents cast
+    to binary payloads (zero-copy string->binary), then an actor-pool stage
+    emits byte counts and frame-sampling arithmetic (FrameSampler's chunk
+    and stride math), payload dropped at the stage boundary."""
+    import pyarrow.compute as pc
+
+    from nfl_feature_store_ray.sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payload = pc.cast(pc.coalesce(batch["text"], ""), pa.binary())
+        return pa.table({"media_id": batch["doc_id"], "payload": payload})
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+
+    class PayloadStats:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+
+            ln = pc2.cast(pc2.binary_length(batch["payload"]), pa.int64())
+            n_frames = pc2.floor(pc2.divide(pc2.cast(ln, pa.float64()), FRAME_BYTES))
+            n_frames = pc2.cast(n_frames, pa.int64())
+            n_sampled = pc2.cast(
+                pc2.floor(
+                    pc2.divide(
+                        pc2.cast(pc2.add(n_frames, FRAME_STRIDE - 1), pa.float64()),
+                        FRAME_STRIDE,
+                    )
+                ),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["media_id"],
+                    "n_bytes": ln,
+                    "n_frames": n_frames,
+                    "n_sampled": n_sampled,
+                }
+            )
+
+    return media.map_batches(
+        PayloadStats, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+
+SQL_MEDIA_STATS = f"""
+SELECT doc_id,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       octet_length(encode(coalesce(text, ''))) // {FRAME_BYTES} AS n_frames,
+       (octet_length(encode(coalesce(text, ''))) // {FRAME_BYTES} + {FRAME_STRIDE - 1})
+         // {FRAME_STRIDE} AS n_sampled
+FROM documents
+"""
+
+QUERIES = {"media_stats": q_media_stats}
+ORACLES = {"media_stats": SQL_MEDIA_STATS}

@@ -31,6 +31,7 @@ def all_queries():
         "join_queries",
         "parse_queries",
         "wide",
+        "multimodal",
     ):
         mod = __import__(f"nfl_feature_store_ray.pipelines.{name}", fromlist=[name])
         modules.append(mod)

@@ -263,3 +263,48 @@ ORACLES["token_counts"] = SQL_TOKEN_COUNTS
 
 QUERIES["quantile_tokens"] = q_quantile_tokens
 ORACLES["quantile_tokens"] = SQL_QUANTILE_TOKENS
+
+
+TOP_TOKENS_K = 20
+
+
+def q_top_tokens(sf_dir: str):
+    """Exact distributed heavy hitters: corpus-wide top-K tokens.
+
+    Per-batch partial value_counts (each batch ships one row per DISTINCT
+    token it saw, not one per occurrence), one token-keyed shuffle sums
+    them, per-bucket partial top-K, tiny driver merge. Ties pinned
+    (count DESC, token ASC) on both sides."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.lower().str.split(" ").explode().dropna().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str), "cnt": vc.to_numpy(dtype=np.int64)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("tok", as_index=False)["cnt"].sum()
+        s = s.sort_values(["cnt", "tok"], ascending=[False, True], kind="mergesort")
+        return s.head(TOP_TOKENS_K)
+
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    per_bucket = map_conv_buckets(parts, bucket_topk, key="tok", sort_cols=["tok"],
+                                  num_buckets=16)
+    merged = per_bucket.to_pandas()
+    merged = merged.sort_values(["cnt", "tok"], ascending=[False, True], kind="mergesort")
+    out = merged.head(TOP_TOKENS_K).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+SQL_TOP_TOKENS = f"""
+WITH ws AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS cnt FROM ws GROUP BY tok
+ORDER BY cnt DESC, tok ASC LIMIT {TOP_TOKENS_K}
+"""
+
+QUERIES["top_tokens"] = q_top_tokens
+ORACLES["top_tokens"] = SQL_TOP_TOKENS

@@ -265,10 +265,18 @@ def q1_pricing(sf_dir: str):
         )
 
     def finish(group: pd.DataFrame) -> pd.DataFrame:
+        # final accumulation of the unit sums in PYTHON ints (arbitrary
+        # precision, matching the oracle's HUGEINT): per-batch partials are
+        # bounded (< 2^53) but their total can pass int64 at TPC-H sf >= 10
+        # (~1e11/row charge units x 6e7 rows); rows here are few (one per
+        # batch x group), so object-dtype summing is free
+        group = group.assign(
+            dp_u=group["dp_u"].map(int), ch_u=group["ch_u"].map(int)
+        )
         df = group.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
         df["sum_base_price"] = df["price_c"] / 100.0
-        df["sum_disc_price"] = df["dp_u"].astype("float64") / 1e4
-        df["sum_charge"] = df["ch_u"].astype("float64") / 1e6
+        df["sum_disc_price"] = df["dp_u"].map(float) / 1e4
+        df["sum_charge"] = df["ch_u"].map(float) / 1e6
         df["avg_qty"] = df["sum_qty"] / df["count_order"]
         df["avg_price"] = df["price_c"] / (100.0 * df["count_order"])
         df["avg_disc"] = df["disc_c"] / (100.0 * df["count_order"])

@@ -200,10 +200,12 @@ class _MinHasher:
         flat = [s for ss in sets for s in ss]
         sigs = tf.minhash_from_flat(tf.hash31_array(flat), counts, self.a, self.b)
         keys = tf.band_key_matrix(sigs, BANDS)  # (docs, bands) int64
+        # NOTE: no n_sh payload — verification recomputes doc sizes from the
+        # shingle arrays, so shipping sizes x BANDS through the shuffle
+        # would be dead weight
         return pd.DataFrame(
             {"doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), BANDS),
-             "bk": keys.ravel(),
-             "n_sh": np.repeat(counts, BANDS)}
+             "bk": keys.ravel()}
         )
 
 
@@ -371,7 +373,7 @@ def _doc_shingle_lists(df: pd.DataFrame) -> pd.DataFrame:
 
 def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
     """Jaccard of two sorted unique int arrays (merge-intersection count)."""
-    if len(a) == 0 and len(b) == 0:
+    if len(a) == 0 or len(b) == 0:
         return 0.0
     inter = np.searchsorted(a, b)
     inter = int(np.sum((inter < len(a)) & (a[np.minimum(inter, len(a) - 1)] == b)))
@@ -472,7 +474,18 @@ ORACLES = {
 COS_T = 0.4  # synthetic embeddings: max pairwise cos ~0.51; 0.4 yields a small true pair set
 
 
+EMB_CENTROIDS = 16  # dedup quantizer cell count
 EMB_REPLICAS = 8  # multi-probe: each vector lands in its R nearest cells
+# HONEST COST NOTE: pair work vs the O(N^2) broadcast is ~(R^2/cells) *
+# N^2/2. This corpus is near-uniform synthetic vectors at a deliberately
+# low threshold (0.4; max cos ~0.51), where exact pair recall — pinned by
+# the oracle and tests — empirically requires R/cells = 1/2 (R=4..6 of 32
+# cells missed 3-12% of pairs at sf0.1), making this config ~4x the
+# broadcast's pair count at sandbox N. The blocking WINS when near-dup
+# thresholds are realistic (>= 0.8) and clusters are real: R stays small
+# while cells scale ~sqrt(N), and per-cell work collapses to cluster
+# sizes. EMB_CENTROIDS/EMB_REPLICAS are the deployment knobs; MAX_CELL
+# drops (logged) bound pathological cells.
 MAX_CELL = 4096  # cells beyond this would need splitting; logged, never silent
 
 
@@ -496,7 +509,7 @@ def q_dedup_embedding(sf_dir: str):
 
     from nfl_feature_store_ray.pipelines.similarity import _norm_rows, coarse_centroids
 
-    cent_ref = _ray.put(coarse_centroids(sf_dir))
+    cent_ref = _ray.put(coarse_centroids(sf_dir, n_centroids=EMB_CENTROIDS))
 
     class CellAssign:
         def __init__(self):

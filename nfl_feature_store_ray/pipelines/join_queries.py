@@ -197,7 +197,8 @@ def q_topk_convs(sf_dir: str):
 
 
 SQL_TOPK_CONVS = f"""{_T},
-totals AS (SELECT conv_id, ROUND(SUM(value), 6) AS total_value FROM t GROUP BY conv_id)
+totals AS (SELECT conv_id, ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS total_value
+           FROM t GROUP BY conv_id)
 SELECT conv_id, total_value,
        CAST(ROW_NUMBER() OVER (ORDER BY total_value DESC, conv_id ASC) AS INTEGER) AS rank
 FROM totals ORDER BY total_value DESC, conv_id ASC LIMIT 10

@@ -55,17 +55,19 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return qids, qm
 
 
-def coarse_centroids(sf_dir: str, sample_n: int = 2000) -> np.ndarray:
+def coarse_centroids(
+    sf_dir: str, sample_n: int = 2000, n_centroids: int = N_CENTROIDS
+) -> np.ndarray:
     """Deterministic coarse quantizer shared by ann_ivf and the IVF-cell
     embedding-dedup path: seed centroids = N_CENTROIDS lowest-vec_id
     vectors, refined by 3 Lloyd iterations over a bounded distributed
     sample (never a driver full-table read)."""
     sample = _nsmallest_distributed(sf_dir, sample_n)
     m = _norm_rows(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
-    cent = m[:N_CENTROIDS].copy()
+    cent = m[:n_centroids].copy()
     for _ in range(3):
         assign = (m @ cent.T).argmax(axis=1)
-        for c in range(N_CENTROIDS):
+        for c in range(n_centroids):
             sel = m[assign == c]
             if len(sel):
                 cent[c] = sel.mean(axis=0)

@@ -29,14 +29,17 @@ def q_text_stats(sf_dir: str):
         # string_split('', ' ') (NOT zero tokens); None stays token-free.
         df = df.reset_index(drop=True)
         text = df["text"]
-        n_chars = text.str.len().fillna(0).astype("int64")
+        # NULL text -> NULL stats, exactly like the oracle's length(NULL) /
+        # string_split(lower(NULL)) (a non-null doc always has >= 1 token,
+        # so reindex introduces NaN only for null-text rows)
+        n_chars = text.str.len()
         low = text.str.lower().str.split(" ")
         tok = low.explode().dropna()
         grp = tok.groupby(level=0)
         idx = df.index
-        n_tokens = grp.size().reindex(idx, fill_value=0).astype("int64")
-        stop = tok.isin(_STOPWORDS).groupby(level=0).sum().reindex(idx, fill_value=0)
-        uniq = grp.nunique().reindex(idx, fill_value=0)
+        n_tokens = grp.size().reindex(idx)
+        stop = tok.isin(_STOPWORDS).groupby(level=0).sum().reindex(idx)
+        uniq = grp.nunique().reindex(idx)
         avg_tok = tok.str.len().groupby(level=0).mean().reindex(idx)
         nt = n_tokens.to_numpy(dtype="float64")
         with np.errstate(invalid="ignore", divide="ignore"):

@@ -170,10 +170,13 @@ class StreamingWindowActor:
             ("n_prior_tool", "int64"), ("turns_since_tool", "float64"),
             ("secs_since_tool", "float64"), ("roll10_tool_rate", "float64"),
         ]
+        # MUST mirror _run_conv's per-metric insertion order exactly (base
+        # families, then session_avg, then that metric's phase families) so
+        # an empty batch's zero-row block has the same Arrow field order as
+        # every non-empty block
         for m in self.metric_names:
             cols += [(f"{p}_{m}", "float64")
                      for p in ("last", "form", "avg", "ewma", "session_avg")]
-        for m in self.metric_names:
             for ph in self.phases:
                 cols += [(f"{fam}_{m}_{ph}", "float64")
                          for fam in ("last", "form", "avg", "ewma")]

@@ -109,3 +109,15 @@ def test_streaming_phase_windows_match_batch(batch_size):
             a = got[f"avg_{m}_{p}"].to_numpy(dtype="float64")
             b = ref[f"avg_{m}_{p}"].to_numpy(dtype="float64")
             assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), f"avg_{m}_{p} not exact"
+
+
+def test_empty_batch_schema_matches_nonempty_order():
+    """A zero-row batch must emit the exact column ORDER of non-empty
+    batches (Ray unifies block schemas positionally for pandas blocks)."""
+    phases = ("user", "assistant")
+    actor = StreamingWindowActor(metrics=METRICS, phases=phases)
+    df = _sorted_frame()
+    nonempty = actor(df)
+    empty = actor(df.iloc[0:0])
+    assert list(empty.columns) == list(nonempty.columns)
+    assert len(empty) == 0

@@ -27,11 +27,7 @@ from nfl_feature_store_ray.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
     transcripts_from_events,
 )
-from nfl_feature_store_ray.stages.derive import (
-    WIDE_METRICS,
-    derive_turn_columns,
-    derive_wide_metrics,
-)
+from nfl_feature_store_ray.stages.derive import WIDE_METRICS
 from nfl_feature_store_ray.state.window_engine import window_features
 
 WIDE_PHASES = ("user", "assistant")
@@ -42,9 +38,14 @@ _W = "PARTITION BY conv_id ORDER BY ts, _seq"
 
 def wide_features(sf_dir: str, num_buckets: int = 64):
     """Full wide frame: every WIDE_METRICS column through every window
-    family plus per-phase families — 260+ feature columns."""
+    family plus per-phase families — 260+ feature columns.
+
+    Both derive stages run INSIDE the bucket tasks (pre_kernel), so the
+    one shuffle exchanges only the 7 raw transcript columns — not the
+    29-column derived fan-out (~40% less exchange payload)."""
+    from nfl_feature_store_ray.stages.derive import _derive_batch, _derive_wide_batch
+
     ts = transcripts_from_events(sf_dir)
-    ts = derive_wide_metrics(derive_turn_columns(ts))
     return window_features(
         ts,
         metrics=WIDE_METRICS,
@@ -52,6 +53,7 @@ def wide_features(sf_dir: str, num_buckets: int = 64):
         num_buckets=num_buckets,
         derive=False,
         phases=WIDE_PHASES,
+        pre_kernel=lambda tbl: _derive_wide_batch(_derive_batch(tbl)),
     )
 
 

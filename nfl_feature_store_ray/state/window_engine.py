@@ -261,11 +261,15 @@ def window_features(
     derive: bool = True,
     heavy_keys: dict | None = None,
     phases: tuple[str, ...] = (),
+    pre_kernel=None,
 ) -> ray.data.Dataset:
     """Distributed window engine: derive -> bucket shuffle -> per-bucket scan.
 
     ``heavy_keys`` (from ``state.skew.detect_heavy_keys``): hot
-    conversations get dedicated buckets (explicit skew salting)."""
+    conversations get dedicated buckets (explicit skew salting).
+    ``pre_kernel`` (Arrow table -> Arrow table) runs inside each bucket
+    task AFTER the shuffle — stateless derivations go here so the
+    exchange ships only the raw columns, not the derived fan-out."""
     if derive:
         ds = derive_turn_columns(ds)
 
@@ -283,6 +287,8 @@ def window_features(
 
     def kern(tbl: pa.Table) -> pa.Table:
         tbl = tbl.drop_columns([BUCKET_COL])
+        if pre_kernel is not None:
+            tbl = pre_kernel(tbl)
         return kernel_arrow(
             tbl,
             metrics=metrics,

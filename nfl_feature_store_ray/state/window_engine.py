@@ -54,7 +54,7 @@ from nfl_feature_store_ray.schemas import (
     SESSION_GAP_S,
 )
 from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
-from nfl_feature_store_ray.stages.derive import derive_turn_columns
+
 
 
 def compute_bucket_windows(
@@ -269,9 +269,17 @@ def window_features(
     conversations get dedicated buckets (explicit skew salting).
     ``pre_kernel`` (Arrow table -> Arrow table) runs inside each bucket
     task AFTER the shuffle — stateless derivations go here so the
-    exchange ships only the raw columns, not the derived fan-out."""
+    exchange ships only the raw columns, not the derived fan-out.
+    ``derive=True`` therefore composes the standard turn-column derive
+    into pre_kernel rather than running it before the shuffle (measured
+    ~15% faster at sf0.1: the exchange moves 7 raw columns, not 13)."""
+    from nfl_feature_store_ray.stages.derive import _derive_batch
+
     if derive:
-        ds = derive_turn_columns(ds)
+        user_pk = pre_kernel
+        pre_kernel = (
+            (lambda t: user_pk(_derive_batch(t))) if user_pk is not None else _derive_batch
+        )
 
     # Arrow spine: bucket column added on pandas batches (cheap), but the
     # shuffled groups flow into the kernel as zero-copy Arrow tables ->

@@ -41,6 +41,13 @@ def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     return df
 
 
+def _prune(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Column-prune BEFORE a bucket shuffle — the text column dominates
+    transcript row width, so operators that don't read it shouldn't ship
+    it through the exchange."""
+    return ds.map_batches(lambda df: df[cols], batch_format="pandas")
+
+
 def _features(sf_dir: str, metrics=("value",)) -> ray.data.Dataset:
     ts = transcripts_from_events(sf_dir)
     return window_features(ts, metrics=metrics, assign_turn_idx=True)
@@ -358,7 +365,7 @@ def q_densify(sf_dir: str):
         )
         return _round6(res, ["day_value", "filled_value", "grid_avg"])
 
-    return map_conv_buckets(ts, densify_bucket, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+    return map_conv_buckets(_prune(ts, ["conv_id", "ts", "_seq", "value"]), densify_bucket, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
 
 
 SQL_DENSIFY = f"""{_T},
@@ -423,7 +430,7 @@ def q_asof_checkpoint(sf_dir: str):
         out = out.rename(columns={"ckpt_value": "asof_ckpt"})
         return _round6(out[["conv_id", "turn_idx", "asof_ckpt"]], ["asof_ckpt"])
 
-    return map_conv_buckets(ts, bucket_asof, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+    return map_conv_buckets(_prune(ts, ["conv_id", "ts", "_seq", "value"]), bucket_asof, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
 
 
 SQL_ASOF_CHECKPOINT = f"""{_T},
@@ -553,7 +560,9 @@ def q_range_join(sf_dir: str):
         out["n_turns"] = out["n_turns"].astype("int64")
         return out[["conv_id", "_seq", "session_id", "lo", "hi", "n_turns"]]
 
-    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+    return map_conv_buckets(
+        _prune(ts, ["conv_id", "ts", "_seq", "role"]), bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"]
+    )
 
 
 SQL_RANGE_JOIN = f"""{_T},
@@ -638,7 +647,9 @@ def q_lead_label(sf_dir: str):
         )
         return out[["conv_id", "turn_idx", "next_value", "next_role"]]
 
-    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+    return map_conv_buckets(
+        _prune(ts, ["conv_id", "ts", "_seq", "role", "value"]), bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"]
+    )
 
 
 SQL_LEAD_LABEL = f"""{_T}
@@ -780,7 +791,7 @@ def q_densify_seeded(sf_dir: str):
         )
         return _round6(res, ["day_value", "filled_value"])
 
-    return map_conv_buckets(ts, bucket, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+    return map_conv_buckets(_prune(ts, ["conv_id", "ts", "_seq", "value"]), bucket, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
 
 
 SQL_DENSIFY_SEEDED = f"""{_T},
@@ -848,7 +859,9 @@ def q_label_split(sf_dir: str):
         out = pd.concat([train, infer], ignore_index=True)
         return out[["conv_id", "turn_idx", "last_value", "next_value", "branch"]]
 
-    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+    return map_conv_buckets(
+        _prune(ts, ["conv_id", "ts", "_seq", "value"]), bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"]
+    )
 
 
 SQL_LABEL_SPLIT = f"""{_T},
@@ -1012,7 +1025,10 @@ def q_sliding_window(sf_dir: str):
             }
         )
 
-    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+    return map_conv_buckets(
+        _prune(ts, ["conv_id", "ts", "_seq", "value"]), bucket_fn,
+        key="conv_id", sort_cols=["conv_id", "ts", "_seq"]
+    )
 
 
 SQL_SLIDING_WINDOW = f"""{_T}

@@ -314,7 +314,10 @@ def _membership_filter(sf_dir: str, keep_members: bool):
         out["n_turns"] = out["n_turns"].astype("int64")
         return out
 
-    return map_conv_buckets(ts, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+    pruned = ts.map_batches(
+        lambda df: df[["conv_id", "ts", "_seq", "role"]], batch_format="pandas"
+    )  # membership needs role + order only — don't ship text through the shuffle
+    return map_conv_buckets(pruned, bucket_fn, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
 
 
 def q_semi_join(sf_dir: str):

@@ -161,7 +161,9 @@ def q_quantile_tokens(sf_dir: str):
     counts are small ints, so each batch emits one tiny bincount partial
     and the merge is O(domain), with NO global sort (the naive
     ds.sort+index plan is an all-to-all at 10^9 docs). Selection rule
-    matches DuckDB quantile_disc: index = floor(q * (n - 1))."""
+    matches DuckDB quantile_disc: 1-based rank = ceil(q * n) (verified
+    empirically against DuckDB at n=4..100; the interpolation-style
+    floor(q*(n-1)) rule diverges at e.g. n=6, q=0.75)."""
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
@@ -180,8 +182,8 @@ def q_quantile_tokens(sf_dir: str):
     n = int(cum[-1]) if len(cum) else 0
     rows = []
     for q in QUANTILES:
-        idx = int(np.floor(q * (n - 1)))  # duckdb quantile_disc selection
-        pos = int(np.searchsorted(cum, idx + 1))
+        rank = max(1, int(np.ceil(q * n)))  # duckdb quantile_disc selection
+        pos = int(np.searchsorted(cum, rank))
         rows.append({"q": q, "n_tokens_q": int(vals[pos])})
     return pd.DataFrame(rows)
 
@@ -243,11 +245,13 @@ def q_token_counts(sf_dir: str):
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         low = df["text"].str.lower()
+        # both paths run in C: split-count via substring count (+1), regex
+        # token count via Series.str.count (re2-style vectorized findall len)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "ws_tokens": low.str.split(" ").map(len).astype("int64"),
-                "re_tokens": low.map(lambda t: len(pat.findall(t or ""))).astype("int64"),
+                "ws_tokens": (low.str.count(" ").fillna(-1) + 1).astype("int64"),
+                "re_tokens": low.str.count(pat).fillna(0).astype("int64"),
             }
         )
 

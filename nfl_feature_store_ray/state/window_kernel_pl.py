@@ -278,9 +278,10 @@ def _apply_window_exprs(
             lpi_incl = cm % (n + 2) - 1  # last phase row <= current, own conv
             # strictly-prior: take the previous row's inclusive index
             lpi = np.empty(n, dtype=np.int64)
-            lpi[1:] = lpi_incl[:-1]
-            lpi[0] = -1
-            lpi[np.flatnonzero(seg[1:] != seg[:-1]) + 1] = -1
+            if n:  # empty blocks still need the full phase-column schema
+                lpi[1:] = lpi_incl[:-1]
+                lpi[0] = -1
+                lpi[np.flatnonzero(seg[1:] != seg[:-1]) + 1] = -1
             valid = lpi >= 0
             safe = np.maximum(lpi, 0)
             for m in metrics:

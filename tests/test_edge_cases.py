@@ -111,3 +111,60 @@ def test_all_null_metric_yields_all_null_windows():
             assert a[c].isna().all(), (kernel.__name__, c)
         b = out[out.conv_id == "b"].reset_index(drop=True)
         np.testing.assert_allclose(b["avg_m"].to_numpy(), [np.nan, 1.0, 1.5], equal_nan=True)
+
+
+def test_quantile_disc_rule_matches_duckdb_at_crossing(tmp_path):
+    """quantile_disc selection rule: rank = ceil(q*n), verified at (n, q)
+    pairs where the interpolation-style floor(q*(n-1)) rule picks a
+    DIFFERENT order statistic (ADVICE r2: n=6 q=0.75 -> rank 5 vs 4).
+    Distinct token counts so the two rules cannot coincide by value."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from nfl_feature_store_ray.pipelines.text_analysis import (
+        SQL_QUANTILE_TOKENS,
+        q_quantile_tokens,
+    )
+
+    for n in (4, 6, 7, 13):
+        d = tmp_path / f"n{n}"
+        d.mkdir()
+        # doc i has i+1 whitespace tokens -> order stats 1..n, all distinct
+        texts = [" ".join(["w"] * (i + 1)) for i in range(n)]
+        pq.write_table(
+            pa.table({"doc_id": list(range(n)), "text": texts}),
+            d / "documents.parquet",
+        )
+        eng = q_quantile_tokens(str(d)).sort_values("q").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        ora = con.execute(SQL_QUANTILE_TOKENS).df().sort_values("q").reset_index(drop=True)
+        assert list(eng["n_tokens_q"]) == list(ora["n_tokens_q"]), (
+            n, list(eng["n_tokens_q"]), list(ora["n_tokens_q"]))
+
+
+def test_phase_kernel_empty_block_keeps_schema():
+    """Zero-row blocks through the phases branch must not crash and must
+    emit the full phase-column schema (ADVICE r2 medium: lpi[0] IndexError
+    on empty partition files in window_features_partitioned)."""
+    from nfl_feature_store_ray.state.window_kernel_pl import kernel_arrow
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("value", pa.float64()),
+            ("is_user", pa.int8()),
+            ("is_assistant", pa.int8()),
+            ("is_tool", pa.int8()),
+        ]
+    )
+    out = kernel_arrow(schema.empty_table(), metrics=("value",), phases=("user", "assistant"))
+    assert out.num_rows == 0
+    for fam in ("last", "form", "avg", "ewma"):
+        for p in ("user", "assistant"):
+            assert f"{fam}_value_{p}" in out.schema.names

@@ -58,17 +58,27 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         return len(ds)
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    def record(name, samples):
+        # n>=3 with min AND median reported (VERDICT r2 #1): the sandbox
+        # host shows load spikes, so a single sample can be 3-5x off the
+        # steady state; median/min dispersion makes run-to-run noise
+        # visible in the artifact instead of needing a re-run to prove
+        s = sorted(samples)
+        timings[name] = round(s[0], 3)
+        medians[name] = round(s[len(s) // 2], 3)
+        spreads[name] = round(s[-1] / s[0], 2) if s[0] > 0 else None
 
     def timed(name, fn):
-        # best of 2: the sandbox host shows load spikes; a single sample
-        # can be 3-5x off the steady state
-        best, rows = None, 0
-        for _ in range(2):
+        samples, rows = [], 0
+        for _ in range(reps):
             t0 = time.perf_counter()
             rows = consume(fn())
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        record(name, samples)
         return rows
 
     # headline: flagship full window-feature materialization — best of two
@@ -109,7 +119,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ).write_parquet(out_dir)
         return time.perf_counter() - t0
 
-    timings["window_features_partitioned"] = round(min(part_job(), part_job()), 3)
+    record("window_features_partitioned", [part_job() for _ in range(reps)])
 
     def stream_job():
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -119,7 +129,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ).write_parquet(out_dir)
         return time.perf_counter() - t0
 
-    timings["window_features_streaming"] = round(min(stream_job(), stream_job()), 3)
+    record("window_features_streaming", [stream_job() for _ in range(reps)])
 
     def wide_part_job():
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -129,7 +139,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ).write_parquet(out_dir)
         return time.perf_counter() - t0
 
-    timings["wide_partitioned_300col"] = round(min(wide_part_job(), wide_part_job()), 3)
+    record("wide_partitioned_300col", [wide_part_job() for _ in range(reps)])
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # wide fan-out proof (reference player store = 182 cols; this is 300):
@@ -151,6 +161,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "value": headline,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_max_over_min": spreads,
+        "bench_reps": reps,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "rows": rows,

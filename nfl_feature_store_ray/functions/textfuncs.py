@@ -33,6 +33,46 @@ def shingle_set(text: str, k: int = 3) -> set[str]:
     return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
 
 
+def shingle_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Batch shingle builder, fully vectorized in polars (VERDICT r2 #6:
+    replaces the per-doc Python set comprehensions).
+
+    Returns ``(counts, flat)``: ``counts[d]`` distinct k-gram shingles for
+    document d, ``flat`` the concatenated per-doc shingle strings (grouped
+    by doc, arbitrary order within a doc — callers hash or sort anyway).
+    Same semantics as ``shingle_set`` per doc: lowercase, split on ' ',
+    DISTINCT k-grams, empty set when the doc has < k tokens.
+    """
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.empty(0, dtype=object)
+    df = pl.DataFrame(
+        {"t": pl.Series(values=list(texts), dtype=pl.Utf8)}
+    ).with_row_index("d")
+    e = (
+        df.with_columns(
+            pl.col("t").fill_null("").str.to_lowercase().str.split(" ").alias("w")
+        )
+        .select("d", "w")
+        .explode("w")
+        .with_columns(
+            w1=pl.col("w").shift(-1).over("d"), w2=pl.col("w").shift(-2).over("d")
+        )
+        .drop_nulls(["w1", "w2"])
+        .select("d", sh=pl.col("w") + " " + pl.col("w1") + " " + pl.col("w2"))
+        .unique()
+        .sort("d")
+    )
+    d_ix = e["d"].to_numpy().astype(np.int64)
+    counts = np.bincount(d_ix, minlength=n).astype(np.int64)
+    return counts, e["sh"].to_numpy()
+
+
 
 
 def minhash_params(num_perm: int = 128, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
@@ -63,12 +103,20 @@ def hash_str_array(strings: list[str] | np.ndarray) -> np.ndarray:
     )
 
 
+def mod31(h: np.ndarray) -> np.ndarray:
+    return h % np.uint64(_MERSENNE31)
+
+
+def mod61(h: np.ndarray) -> np.ndarray:
+    return (h % np.uint64(_MERSENNE61)).astype(np.int64)
+
+
 def hash31_array(strings: list[str] | np.ndarray) -> np.ndarray:
-    return hash_str_array(strings) % np.uint64(_MERSENNE31)
+    return mod31(hash_str_array(strings))
 
 
 def hash61_array(strings: list[str] | np.ndarray) -> np.ndarray:
-    return (hash_str_array(strings) % np.uint64(_MERSENNE61)).astype(np.int64)
+    return mod61(hash_str_array(strings))
 
 
 def minhash_from_flat(
@@ -102,7 +150,12 @@ def minhash_from_flat(
         if len(nonempty):
             lo = offsets[d0]
             x = flat_hashes[lo : lo + rows].astype(np.uint64)[:, None]
-            v = (a[None, :] * x + b[None, :]) % p  # (rows, perms)
+            v = a[None, :] * x + b[None, :]  # < 2^62 (a, x < 2^31)
+            # exact mod 2^31-1 via Mersenne folds (identical value to `% p`,
+            # ~10x faster than uint64 division on this 33M-element surface)
+            v = (v & p) + (v >> np.uint64(31))
+            v = (v & p) + (v >> np.uint64(31))
+            v = np.where(v >= p, v - p, v)
             segs = (offsets[nonempty] - lo).astype(np.int64)
             out[nonempty] = np.minimum.reduceat(v, segs, axis=0)
         d0 = d1

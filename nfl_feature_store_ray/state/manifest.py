@@ -34,29 +34,51 @@ from nfl_feature_store_ray.stages.bucketize import BUCKET_COL, with_bucket
 _FP_KEY = "nfl_fs_lineage!!"  # 16 bytes
 
 
+def _col_as_str(s: pd.Series) -> pd.Series:
+    # bytes cells (e.g. packed hash arrays) are not utf-8 decodable —
+    # represent them losslessly via hex instead of astype(str)
+    if s.dtype == object:
+        nn = s.dropna()
+        if len(nn) and isinstance(nn.iloc[0], (bytes, bytearray)):
+            return s.map(
+                lambda b: b.hex() if isinstance(b, (bytes, bytearray)) else str(b)
+            )
+    return s.astype(str)
+
+
 def group_fingerprint(df: pd.DataFrame, cols: list[str]) -> str:
+    joined = (
+        pd.concat([_col_as_str(df[c]) for c in cols], axis=1).agg("|".join, axis=1)
+        if len(df)
+        else pd.Series([], dtype=object)
+    )
     h = pd.util.hash_pandas_object(
-        df[cols].astype(str).agg("|".join, axis=1), index=False, hash_key=_FP_KEY
+        joined, index=False, hash_key=_FP_KEY
     ).to_numpy(dtype=np.uint64)
     x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
     return f"{int(x):016x}-{len(df)}"
 
 
-def write_partitioned(
+def partitioned_commit(
     ds: ray.data.Dataset,
     out_dir: str,
     key: str = "conv_id",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     transform=None,
     fingerprint_cols: list[str] | None = None,
-) -> pd.DataFrame:
-    """Partition ``ds`` by hash(key), apply ``transform`` per sorted
-    partition, write each partition + manifest atomically; skip partitions
-    whose manifest already matches the input fingerprint.
+    emit=None,
+) -> ray.data.Dataset:
+    """Lazy partition-commit stage: partition ``ds`` by hash(key), apply
+    ``transform`` per partition, write each partition + manifest
+    atomically; skip partitions whose manifest already matches the input
+    fingerprint.
 
-    Returns the manifest frame (one row per partition: bucket, rows in/out,
-    fingerprint, seconds, rows/sec, skipped flag).
-    """
+    Each task's OUTPUT is the manifest row by default, or ``emit(group)``
+    when given — the pass-through mode lets a downstream pipeline keep
+    streaming over the same data in ONE execution while the partition
+    files are committed as a durable, resumable side effect (the emitted
+    rows flow only after the partition's os.replace, so later stages may
+    read the committed files)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def commit(group: pd.DataFrame) -> pd.DataFrame:
@@ -77,7 +99,7 @@ def write_partitioned(
                 prev = json.load(f)
             if prev.get("input_fingerprint") == fp:
                 prev["skipped"] = True
-                return pd.DataFrame([prev])
+                return emit(group) if emit is not None else pd.DataFrame([prev])
 
         out = transform(group) if transform is not None else group
         tmp = part_path + ".tmp"
@@ -98,8 +120,25 @@ def write_partitioned(
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
         os.replace(mtmp, man_path)
-        return pd.DataFrame([manifest])
+        return emit(group) if emit is not None else pd.DataFrame([manifest])
 
     bucketed = with_bucket(ds, key=key, num_buckets=num_buckets)
-    manifests = bucketed.groupby(BUCKET_COL).map_groups(commit, batch_format="pandas")
+    return bucketed.groupby(BUCKET_COL).map_groups(commit, batch_format="pandas")
+
+
+def write_partitioned(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key: str = "conv_id",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    transform=None,
+    fingerprint_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """Eager wrapper over ``partitioned_commit``: runs the commit and
+    returns the manifest frame (one row per partition: bucket, rows
+    in/out, fingerprint, seconds, rows/sec, skipped flag)."""
+    manifests = partitioned_commit(
+        ds, out_dir, key=key, num_buckets=num_buckets, transform=transform,
+        fingerprint_cols=fingerprint_cols,
+    )
     return manifests.to_pandas().sort_values("bucket").reset_index(drop=True)

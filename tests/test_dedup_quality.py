@@ -190,3 +190,43 @@ def test_ngram_max_df_cap_drops_stop_shingles(caplog):
     assert len(uncapped) == 15 + 1  # 15 stop pairs + (7,8) sharing 2 shingles
     assert len(capped) == 1
     assert any("ngram-shingle" in r.message for r in caplog.records)
+
+
+def test_capped_ngram_pipeline_recall_vs_exact(tmp_path):
+    """Deployment-default capped variant (max_df stop-shingle cap): on a
+    corpus where EVERY doc shares boilerplate shingles (df > cap), the
+    capped pipeline must still find every true near-dup pair — near-dups
+    share many RARE shingles — and, at threshold, match the exact pair set
+    (pairs overlapping only in boilerplate sit far below JACCARD_T)."""
+    import os
+
+    from nfl_feature_store_ray.pipelines.dedup import (
+        DEFAULT_MAX_DF,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(400)]
+    boiler = "terms of service apply to this document"  # shared by ALL docs
+    rows, originals = [], []
+    for doc_id in range(60):
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), 50)]
+        originals.append(toks)
+        rows.append((doc_id, boiler + " " + " ".join(toks)))
+    for i in range(6):  # near-dups of docs 0..5 (2 token edits)
+        toks = list(originals[i])
+        for j in (5, 30):
+            toks[j] = vocab[int(rng.integers(0, len(vocab)))]
+        rows.append((60 + i, boiler + " " + " ".join(toks)))
+    d = tmp_path / "capped"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet"), index=False
+    )
+
+    exact = ngram_jaccard_pairs(str(d), max_df=None).to_pandas()
+    capped = ngram_jaccard_pairs(str(d), max_df=20).to_pandas()  # < 66 docs
+    expected = {(i, 60 + i) for i in range(6)}
+    assert expected.issubset(_pairs(exact))
+    assert _pairs(capped) == _pairs(exact), "cap must not lose true pairs"
+    assert DEFAULT_MAX_DF is not None  # deployment default IS capped

@@ -619,4 +619,12 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 QUERIES["dedup_embedding"] = q_dedup_embedding
+# CORPUS-CONDITIONAL EXACT GATE (ADVICE r2): the IVF path is approximate
+# by construction (multi-probe, EMB_REPLICAS of EMB_CENTROIDS cells); it
+# matches this EXACT all-pairs oracle because R/cells = 1/2 empirically
+# recovers every pair on THIS near-uniform synthetic corpus at COS_T
+# (pinned independently by tests/test_dedup_quality.py's brute-force
+# recall test, which is the portable guard). On corpora with different
+# geometry, tune EMB_REPLICAS/EMB_CENTROIDS against the recall test
+# first — a hash-exact gate is NOT a general property of IVF blocking.
 ORACLES["dedup_embedding"] = SQL_DEDUP_EMBEDDING

@@ -32,6 +32,7 @@ def all_queries():
         "parse_queries",
         "wide",
         "multimodal",
+        "resume_queries",
     ):
         mod = __import__(f"nfl_feature_store_ray.pipelines.{name}", fromlist=[name])
         modules.append(mod)

@@ -118,23 +118,16 @@ def q_ewma(sf_dir: str):
     )
 
 
-# Closed form of the recursive EWMA (adjust=False):
-#   y_k = (1-a)^k * sum_{i<=k} w_i,  w_0 = x_0,  w_i = a * x_i / (1-a)^i
-# Safe here: conversations are < ~100 turns, so (1/(1-a))^k stays < 1e9.
+# Segment-renormalized closed form of the recursive EWMA (adjust=False) —
+# overflow-safe at ANY conversation length (functions.sqlgen docstring;
+# the naive (1/(1-a))^k form hits inf around k ~ 3500).
+from nfl_feature_store_ray.functions.sqlgen import ewma_closed_ctes  # noqa: E402
+
 SQL_EWMA = f"""{_T},
-s AS (
-  SELECT conv_id, turn_idx, ts, _seq,
-         CASE WHEN turn_idx = 0 THEN value
-              ELSE value * {EWMA_ALPHA!r} / POWER({1.0 - EWMA_ALPHA!r}, turn_idx) END AS w
-  FROM t
-),
-c AS (
-  SELECT conv_id, turn_idx, ts, _seq,
-         POWER({1.0 - EWMA_ALPHA!r}, turn_idx)
-           * SUM(w) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
-  FROM s
-)
-SELECT conv_id, turn_idx, ROUND(LAG(y) OVER ({_W}), 6) AS ewma_value FROM c
+{ewma_closed_ctes("t", ["conv_id"], "turn_idx", "value", "yew", "y", EWMA_ALPHA)}
+SELECT conv_id, turn_idx,
+       ROUND(LAG(y) OVER (PARTITION BY conv_id ORDER BY turn_idx), 6) AS ewma_value
+FROM yew
 """
 
 
@@ -709,17 +702,10 @@ w AS (
   WINDOW pr AS (PARTITION BY conv_id, role ORDER BY ts, _seq
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
-e AS (
-  SELECT *, CASE WHEN ridx = 0 THEN value
-                 ELSE value * {EWMA_ALPHA!r} / POWER({1.0 - EWMA_ALPHA!r}, ridx) END AS ew
-  FROM w
-),
+{ewma_closed_ctes("w", ["conv_id", "role"], "ridx", "value", "pew", "incl_ewma",
+                  EWMA_ALPHA)},
 cc AS (
-  SELECT *,
-         POWER({1.0 - EWMA_ALPHA!r}, ridx)
-           * SUM(ew) OVER (PARTITION BY conv_id, role ORDER BY ts, _seq
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS incl_ewma
-  FROM e
+  SELECT w.*, pew.incl_ewma FROM w JOIN pew USING (conv_id, role, ridx)
 )
 SELECT conv_id, turn_idx,{",".join(_phase_select(p) for p in _PHASES)}
 FROM cc

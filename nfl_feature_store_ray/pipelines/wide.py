@@ -22,6 +22,7 @@ from __future__ import annotations
 import pandas as pd
 
 from nfl_feature_store_ray.functions.rounding import round_half_away
+from nfl_feature_store_ray.functions.sqlgen import ewma_closed_ctes
 from nfl_feature_store_ray.schemas import EWMA_ALPHA
 from nfl_feature_store_ray.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
@@ -105,18 +106,10 @@ p AS (
   WINDOW pr AS (PARTITION BY conv_id, role ORDER BY ts, _seq
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
-e AS (
-  SELECT *, CASE WHEN turn_idx = 0 THEN tok_sq
-                 ELSE tok_sq * {EWMA_ALPHA!r} / POWER({1.0 - EWMA_ALPHA!r}, turn_idx)
-            END AS ew
-  FROM p
-),
+{ewma_closed_ctes("p", ["conv_id"], "turn_idx", "tok_sq", "wew",
+                  "incl_ewma_tok_sq", EWMA_ALPHA)},
 cc AS (
-  SELECT *,
-         POWER({1.0 - EWMA_ALPHA!r}, turn_idx)
-           * SUM(ew) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS incl_ewma_tok_sq
-  FROM e
+  SELECT p.*, wew.incl_ewma_tok_sq FROM p JOIN wew USING (conv_id, turn_idx)
 )
 SELECT conv_id, turn_idx,
        ROUND(CAST(LAG(n_spaces) OVER ({_W}) AS DOUBLE), 6) AS last_n_spaces,

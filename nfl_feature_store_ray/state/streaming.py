@@ -23,7 +23,15 @@ bounded space — the "two-pass prefix chaining" answer for hot
 conversations (SURVEY §7.3).
 
 Equivalence with the batch engine is enforced by tests for every batch
-size (1 row per batch up to whole-partition batches).
+size (1 row per batch up to whole-partition batches). PRECISION CONTRACT
+(ADVICE r2): every family is bit-identical to the batch kernels EXCEPT
+ewma, which uses the chunked closed form below — mathematically equal to
+the recursive pandas/polars ewm but not bitwise, so ewma equality across
+the streaming/batch paths is ALLCLOSE (rtol 1e-9), not exact; after 6dp
+rounding a value sitting exactly at a 5e-7 tie could therefore round
+differently between the two paths. The driver-gated streaming query
+(`pipelines.resume_queries.q_rolling_streaming`) deliberately pins
+rolling families, which ARE exact.
 
 Failure semantics: conversations never span blocks (the partition layout
 guarantees it), so a task retry on a FRESH actor replays its block

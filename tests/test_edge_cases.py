@@ -168,3 +168,58 @@ def test_phase_kernel_empty_block_keeps_schema():
     for fam in ("last", "form", "avg", "ewma"):
         for p in ("user", "assistant"):
             assert f"{fam}_value_{p}" in out.schema.names
+
+
+def test_ewma_oracle_no_overflow_on_long_conversation(tmp_path):
+    """ADVICE r2: the old closed-form EWMA oracle emitted inf past ~3500
+    same-role turns ((1/(1-a))^ridx > DBL_MAX). The segment-renormalized
+    form (functions.sqlgen) must stay finite AND match the engine at 6dp
+    on a 4500-turn single-role conversation."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    from nfl_feature_store_ray.pipelines.transcript_queries import (
+        SQL_EWMA,
+        q_ewma,
+        q_phase_windows,
+        SQL_PHASE_WINDOWS,
+    )
+
+    n = 4500
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.default_rng(4)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": base + pd.to_timedelta(np.arange(n), unit="s"),
+            "user_id": np.int64(1),
+            # 'click' maps to role=user for every row -> 4500 same-role turns
+            "event_type": "click",
+            "value": np.round(rng.random(n) * 10, 2),
+            "props": "p",
+        }
+    )
+    d = tmp_path / "long"
+    d.mkdir()
+    pq_.write_table(pa.Table.from_pandas(events, preserve_index=False),
+                    d / "events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    for qfn, sql, cols in (
+        (q_ewma, SQL_EWMA, ["ewma_value"]),
+        (q_phase_windows, SQL_PHASE_WINDOWS, None),
+    ):
+        eng = qfn(str(d)).to_pandas().sort_values("turn_idx").reset_index(drop=True)
+        ora = con.execute(sql).df().sort_values("turn_idx").reset_index(drop=True)
+        assert len(eng) == len(ora) == n
+        use = cols or [c for c in ora.columns if c not in ("conv_id", "turn_idx")]
+        for c in use:
+            o = ora[c].to_numpy(dtype="float64")
+            assert np.isfinite(o[~np.isnan(o)]).all(), f"{c}: oracle emitted inf"
+            np.testing.assert_allclose(
+                eng[c].to_numpy(dtype="float64"), o,
+                rtol=1e-6, atol=1e-9, equal_nan=True, err_msg=c,
+            )

@@ -223,9 +223,15 @@ def _scaling_job(num_cpus: int) -> dict:
 
     import ray
 
+    # VERDICT r2 #9 experiment knob: Ray warns the object store defaults to
+    # ~43% of memory; GRAFT_OBJ_STORE_GB pins it explicitly so the 8->32
+    # ceiling can be measured with a bigger store (result: no change — see
+    # BASELINE.md round-3 scaling notes)
+    obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
+    kw = {"object_store_memory": int(float(obj_gb) * 2**30)} if obj_gb else {}
     ray.init(
         address="local", num_cpus=num_cpus, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
+        ignore_reinit_error=True, logging_level="ERROR", **kw,
     )
     from ray.data import DataContext
 

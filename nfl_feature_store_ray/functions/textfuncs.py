@@ -75,6 +75,34 @@ def shingle_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
 
 
 
+def token_flat(texts, lower: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Batch whitespace tokenizer, vectorized in polars: returns
+    ``(counts, flat)`` where ``counts[d]`` is doc d's token count and
+    ``flat`` the concatenated tokens IN ORDER (matching
+    ``token_split(text.lower())`` per doc: '' -> one empty token)."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.empty(0, dtype=object)
+    t = pl.Series("t", list(texts), dtype=pl.Utf8).fill_null("")
+    if lower:
+        t = t.str.to_lowercase()
+    e = (
+        pl.DataFrame({"t": t})
+        .with_row_index("d")
+        .with_columns(pl.col("t").str.split(" ").alias("w"))
+        .select("d", "w")
+        .explode("w")
+    )
+    d_ix = e["d"].to_numpy().astype(np.int64)
+    counts = np.bincount(d_ix, minlength=n).astype(np.int64)
+    return counts, e["w"].to_numpy()
+
+
 def minhash_params(num_perm: int = 128, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.uint64)
@@ -162,40 +190,44 @@ def minhash_from_flat(
     return out
 
 
-def rolling_fingerprint_batch(
-    token_lists: list[list[str]], base: int = 1_000_003
+def rolling_fingerprint_from_flat(
+    flat_tokens: np.ndarray, counts: np.ndarray, base: int = 1_000_003
 ) -> np.ndarray:
-    """Batch rolling fingerprints: tokens hashed in ONE vectorized pass,
-    then a cheap integer Horner per document (the per-token hashlib call
-    was the cost, not the modular arithmetic)."""
-    counts = [len(t) for t in token_lists]
-    flat = [t for ts in token_lists for t in ts]
-    h = hash61_array(flat).tolist()
-    out = np.empty(len(token_lists), dtype=np.int64)
+    """Rolling fingerprints from a concatenated token array: tokens hashed
+    in ONE vectorized pass, then a cheap integer Horner per document (the
+    per-token hashlib call was the cost, not the modular arithmetic)."""
+    h = hash61_array(flat_tokens).tolist()
+    out = np.empty(len(counts), dtype=np.int64)
     i = 0
     for d, c in enumerate(counts):
         acc = 0
-        for t in h[i : i + c]:
+        for t in h[i : i + int(c)]:
             acc = (acc * base + t) % _MERSENNE61
         out[d] = acc
-        i += c
+        i += int(c)
     return out
 
 
-def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
-    """Vectorized 64-bit SimHash for a batch of token lists.
+def rolling_fingerprint_batch(
+    token_lists: list[list[str]], base: int = 1_000_003
+) -> np.ndarray:
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                         count=len(token_lists))
+    flat = np.array([t for ts in token_lists for t in ts], dtype=object)
+    return rolling_fingerprint_from_flat(flat, counts, base)
+
+
+def simhash64_from_flat(flat_tokens: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit SimHash from a concatenated token array.
 
     One C hash pass over every token of the batch, bit expansion via
     ``np.unpackbits``, per-document ±1 accumulation via
     ``np.add.reduceat`` — no per-token hashlib (same fix as MinHash).
     Hamming distances are invariant to the (fixed) bit numbering."""
-    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
-                         count=len(token_lists))
-    flat = [t for ts in token_lists for t in ts]
-    out = np.zeros(len(token_lists), dtype=np.uint64)
-    if not flat:
+    out = np.zeros(len(counts), dtype=np.uint64)
+    if not len(flat_tokens):
         return out
-    h = hash_str_array(flat)  # (total,) uint64
+    h = hash_str_array(flat_tokens)  # (total,) uint64
     bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
     signs = bits.astype(np.int32) * 2 - 1
     nonempty = np.flatnonzero(counts)
@@ -205,6 +237,13 @@ def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
     packed = np.packbits((acc > 0).astype(np.uint8), axis=1)  # (nonempty, 8)
     out[nonempty] = packed.view(np.uint64).ravel()
     return out
+
+
+def simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                         count=len(token_lists))
+    flat = np.array([t for ts in token_lists for t in ts], dtype=object)
+    return simhash64_from_flat(flat, counts)
 
 
 def band_key_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:

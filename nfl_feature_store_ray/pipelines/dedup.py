@@ -431,11 +431,11 @@ def q_dedup_simhash(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sim(df: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized hash pass per batch (tf.simhash64_batch)
-        toks = [tf.token_split(t.lower()) for t in df["text"]]
+        # tokens split in polars (tf.token_flat), hashed in one C pass
+        counts, flat = tf.token_flat(df["text"].to_numpy())
         return pd.DataFrame(
             {"doc_id": df["doc_id"],
-             "simhash": tf.simhash64_batch(toks).astype("int64")}
+             "simhash": tf.simhash64_from_flat(flat, counts).astype("int64")}
         )
 
     sigs = docs.map_batches(sim, batch_format="pandas")

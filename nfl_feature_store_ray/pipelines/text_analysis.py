@@ -140,12 +140,12 @@ def q_doc_fingerprint(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
-        toks = [tf.token_split(t.lower()) for t in df["text"]]
+        # tokens split in polars, batch-hashed; cheap integer Horner per doc
+        counts, flat = tf.token_flat(df["text"].to_numpy())
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                # batch-hashed tokens, cheap integer Horner per doc
-                "fingerprint": tf.rolling_fingerprint_batch(toks) >> 2,
+                "fingerprint": tf.rolling_fingerprint_from_flat(flat, counts) >> 2,
             }
         )
 

@@ -54,6 +54,7 @@ def shingle_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     df = pl.DataFrame(
         {"t": pl.Series(values=list(texts), dtype=pl.Utf8)}
     ).with_row_index("d")
+    shift_cols = [f"w{i}" for i in range(1, k)]
     e = (
         df.with_columns(
             pl.col("t").fill_null("").str.to_lowercase().str.split(" ").alias("w")
@@ -61,10 +62,14 @@ def shingle_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
         .select("d", "w")
         .explode("w")
         .with_columns(
-            w1=pl.col("w").shift(-1).over("d"), w2=pl.col("w").shift(-2).over("d")
+            *[pl.col("w").shift(-i).over("d").alias(f"w{i}") for i in range(1, k)]
         )
-        .drop_nulls(["w1", "w2"])
-        .select("d", sh=pl.col("w") + " " + pl.col("w1") + " " + pl.col("w2"))
+        .drop_nulls(shift_cols)
+        .select(
+            "d",
+            sh=pl.concat_str([pl.col("w")] + [pl.col(c) for c in shift_cols],
+                             separator=" "),
+        )
         .unique()
         .sort("d")
     )

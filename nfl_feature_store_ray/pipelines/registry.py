@@ -33,6 +33,7 @@ def all_queries():
         "wide",
         "multimodal",
         "resume_queries",
+        "packing",
     ):
         mod = __import__(f"nfl_feature_store_ray.pipelines.{name}", fromlist=[name])
         modules.append(mod)

@@ -315,3 +315,89 @@ ORDER BY cnt DESC, tok ASC LIMIT {TOP_TOKENS_K}
 
 QUERIES["top_tokens"] = q_top_tokens
 ORACLES["top_tokens"] = SQL_TOP_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality flags (repetition + symbol ratio + keep decision) —
+# the standard web-scale pre-training filter family (cf. Rae et al. 2021
+# "Scaling Language Models" quality heuristics, public)
+# ---------------------------------------------------------------------------
+QF_DUP_MAX = 0.02
+QF_TOK_MIN, QF_TOK_MAX = 20, 80
+
+
+def q_quality_flags(sf_dir: str):
+    """Per-document quality filter signals, fully vectorized:
+      dup_trigram_frac  1 - distinct/total word-3-grams (repetition signal;
+                        trigram strings built in polars via tf.shingle_flat)
+      symbol_ratio      non-[a-z0-9 ] chars / chars of the lowered text
+      keep              the filter decision (token-count bounds + repetition
+                        cap) — the column a 100-TB ingest would filter on
+    """
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        n_chars = low.str.len().fillna(0).to_numpy(dtype=np.int64)
+        n_tokens = np.where(n_chars > 0,
+                            low.str.count(" ").fillna(-1).to_numpy() + 1, 0
+                            ).astype(np.int64)
+        distinct_tri = tf.shingle_flat(df["text"].to_numpy(), k=3)[0]
+        total_tri = np.maximum(n_tokens - 2, 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup = np.where(total_tri > 0, 1.0 - distinct_tri / total_tri, 0.0)
+            sym = np.where(
+                n_chars > 0,
+                low.str.count(r"[^a-z0-9 ]").fillna(0).to_numpy() / n_chars,
+                0.0,
+            )
+        keep = (
+            (n_tokens >= QF_TOK_MIN) & (n_tokens <= QF_TOK_MAX)
+            & (round_half_away(dup, 6) <= QF_DUP_MAX)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tokens,
+                "dup_trigram_frac": round_half_away(dup, 6),
+                "symbol_ratio": round_half_away(sym, 6),
+                "keep": keep,
+            }
+        )
+
+    return docs.map_batches(flags, batch_format="pandas")
+
+
+SQL_QUALITY_FLAGS = f"""
+WITH ws AS (
+  SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS w
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, lt, w,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS t3
+  FROM ws
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN length(lt) > 0 THEN len(w) ELSE 0 END AS n_tokens,
+         ROUND(CASE WHEN len(t3) > 0
+                    THEN 1.0 - len(list_distinct(t3)) / CAST(len(t3) AS DOUBLE)
+                    ELSE 0.0 END, 6) AS dup_trigram_frac,
+         ROUND(CASE WHEN length(lt) > 0
+                    THEN length(regexp_replace(lt, '[a-z0-9 ]', '', 'g'))
+                         / CAST(length(lt) AS DOUBLE)
+                    ELSE 0.0 END, 6) AS symbol_ratio
+  FROM tri
+)
+SELECT doc_id, n_tokens, dup_trigram_frac, symbol_ratio,
+       (n_tokens BETWEEN {QF_TOK_MIN} AND {QF_TOK_MAX}
+        AND dup_trigram_frac <= {QF_DUP_MAX}) AS keep
+FROM m
+"""
+
+QUERIES["quality_flags"] = q_quality_flags
+ORACLES["quality_flags"] = SQL_QUALITY_FLAGS

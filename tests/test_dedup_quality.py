@@ -230,3 +230,36 @@ def test_capped_ngram_pipeline_recall_vs_exact(tmp_path):
     assert expected.issubset(_pairs(exact))
     assert _pairs(capped) == _pairs(exact), "cap must not lose true pairs"
     assert DEFAULT_MAX_DF is not None  # deployment default IS capped
+
+
+def test_decontaminate_flags_planted_overlap(tmp_path):
+    """13-gram decontamination must flag a training doc that embeds a
+    contiguous 13-token span of an eval doc, and leave clean docs alone."""
+    import os
+
+    from nfl_feature_store_ray.pipelines.packing import (
+        DECON_EVAL_MOD,
+        q_decontaminate,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = {}
+    for doc_id in range(200):
+        docs[doc_id] = [vocab[int(i)] for i in rng.integers(0, len(vocab), 40)]
+    # doc 0 is an eval doc (0 % 97 == 0); plant its tokens 10..30 inside
+    # training doc 5 (clean elsewhere)
+    docs[5] = docs[5][:10] + docs[0][10:30] + docs[5][10:]
+    rows = [(i, " ".join(t)) for i, t in docs.items()]
+    d = tmp_path / "decon"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet"), index=False
+    )
+
+    out = q_decontaminate(str(d)).to_pandas()
+    assert len(out) == 200 - len([i for i in range(200) if i % DECON_EVAL_MOD == 0])
+    flagged = set(out[out["contaminated"]]["doc_id"])
+    assert 5 in flagged, "planted 20-token eval span must be flagged"
+    # random 40-token docs over a 500-word vocab share no 13-gram by chance
+    assert flagged == {5}

@@ -59,19 +59,27 @@ def q_pack_sequences(sf_dir: str):
     # exclusive prefix offsets, broadcast as a plain dict (O(buckets))
     offsets = dict(zip(totals.index, np.concatenate([[0], totals.to_numpy().cumsum()[:-1]])))
 
-    # ---- pass 2: one range-bucket shuffle; offset + in-bucket cumsum ----
+    # ---- pass 2: one range-bucket shuffle; offset + in-range cumsum ----
+    # a hash bucket may hold SEVERAL _rb ranges (hash collisions over the
+    # range ids) — the cumsum must restart per range, each with its own
+    # broadcast offset
     def pack(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        rb = int(g["doc_id"].iloc[0] // PACK_RANGE)
-        start = offsets[rb] + g["n_tokens"].to_numpy().cumsum() - g["n_tokens"].to_numpy()
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"],
-                "n_tokens": g["n_tokens"],
-                "pack_id": (start // PACK_BUDGET).astype("int64"),
-                "pack_offset": (start % PACK_BUDGET).astype("int64"),
-            }
-        )
+        outs = []
+        for rb, g in group.groupby("_rb", sort=True):
+            g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+            nt = g["n_tokens"].to_numpy()
+            start = offsets[int(rb)] + nt.cumsum() - nt
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"],
+                        "n_tokens": g["n_tokens"],
+                        "pack_id": (start // PACK_BUDGET).astype("int64"),
+                        "pack_offset": (start % PACK_BUDGET).astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     toks = docs.map_batches(_token_counts, batch_format="pandas")
 

@@ -628,3 +628,136 @@ QUERIES["dedup_embedding"] = q_dedup_embedding
 # geometry, tune EMB_REPLICAS/EMB_CENTROIDS against the recall test
 # first — a hash-exact gate is NOT a general property of IVF blocking.
 ORACLES["dedup_embedding"] = SQL_DEDUP_EMBEDDING
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate CLUSTERS: connected components over the pair graph
+# ---------------------------------------------------------------------------
+CC_MAX_ROUNDS = 16
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Connected components over the exact n-gram near-dup pair graph via
+    DISTRIBUTED hash-min label propagation — the dedup END PRODUCT: every
+    paired document gets its component's min doc_id as cluster_id, and the
+    min member is flagged canonical (the survivor a 100-TB dedup keeps).
+
+    BSP rounds of two keyed shuffles each (attach labels to edge sources,
+    then min-combine per destination); a round's label table is one row
+    per PAIRED doc (bounded: nodes-in-pairs << corpus), and the loop ends
+    when a round changes nothing — O(component diameter) rounds, and
+    near-dup components are shallow. Loud-fails if CC_MAX_ROUNDS is hit.
+    """
+    I64 = "int64"
+    pairs = ngram_jaccard_pairs(sf_dir, max_df=None)
+
+    def doubled(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_id_a"].to_numpy(dtype=np.int64)
+        b = df["doc_id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    edges = pairs.map_batches(doubled, batch_format="pandas").materialize()
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype=I64), "cluster_id": pd.Series(dtype=I64),
+         "is_canonical": pd.Series(dtype=bool)}
+    )
+    if edges.count() == 0:
+        return empty
+
+    nodes = edges.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"].astype(I64)}),
+        batch_format="pandas",
+    )
+    labels = map_conv_buckets(
+        nodes,
+        lambda g: pd.DataFrame({"node": pd.unique(g["node"])}).assign(
+            lab=lambda d: d["node"]
+        ),
+        key="node", sort_cols=["node"], num_buckets=8,
+    ).materialize()
+
+    def _round(labels_ds):
+        e_t = edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["src"].astype(I64), "dst": df["dst"].astype(I64),
+                 "lab": np.int64(-1), "_s": np.int8(0)}
+            ),
+            batch_format="pandas",
+        )
+        l_t = labels_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["node"].astype(I64), "dst": np.int64(-1),
+                 "lab": df["lab"].astype(I64), "_s": np.int8(1)}
+            ),
+            batch_format="pandas",
+        )
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            lb = g[g["_s"] == 1][["k", "lab"]].groupby("k", as_index=False).min()
+            ed = g[g["_s"] == 0][["k", "dst"]]
+            m = ed.merge(lb, on="k")
+            cand = pd.DataFrame(
+                {"k": m["dst"].astype(I64), "lab": m["lab"].astype(I64),
+                 "own": np.int8(0)}
+            )
+            own = pd.DataFrame(
+                {"k": lb["k"].astype(I64), "lab": lb["lab"].astype(I64),
+                 "own": np.int8(1)}
+            )
+            return pd.concat([cand, own], ignore_index=True)
+
+        mid = map_conv_buckets(
+            e_t.union(l_t), attach, key="k", sort_cols=["k", "_s"], num_buckets=8
+        )
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            mn = g.groupby("k", as_index=False)["lab"].min()
+            old = (
+                g[g["own"] == 1].groupby("k", as_index=False)["lab"].min()
+                .rename(columns={"lab": "old"})
+            )
+            m = mn.merge(old, on="k")
+            return pd.DataFrame(
+                {"node": m["k"].astype(I64), "lab": m["lab"].astype(I64),
+                 "changed": (m["lab"] < m["old"]).astype("int64")}
+            )
+
+        return map_conv_buckets(mid, combine, key="k", sort_cols=["k"], num_buckets=8)
+
+    for _ in range(CC_MAX_ROUNDS):
+        labels = _round(labels).materialize()
+        if labels.sum("changed") == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {CC_MAX_ROUNDS} rounds — "
+            "component diameter exceeds the bound; raise CC_MAX_ROUNDS"
+        )
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["node"].astype(I64), "cluster_id": df["lab"].astype(I64),
+             "is_canonical": df["node"].to_numpy() == df["lab"].to_numpy()}
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM}),
+e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+)
+SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id,
+       (LEAST(n, MIN(m)) = n) AS is_canonical
+FROM reach GROUP BY n
+"""
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS

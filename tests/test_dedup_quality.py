@@ -263,3 +263,41 @@ def test_decontaminate_flags_planted_overlap(tmp_path):
     assert 5 in flagged, "planted 20-token eval span must be flagged"
     # random 40-token docs over a 500-word vocab share no 13-gram by chance
     assert flagged == {5}
+
+
+def test_dedup_clusters_transitive_chain(tmp_path):
+    """Connected components must merge A-B-C chains where A~B and B~C are
+    near-dup pairs but A~C falls below threshold — multi-hop label
+    propagation, not just pair mirroring."""
+    import os
+
+    from nfl_feature_store_ray.pipelines.dedup import (
+        q_dedup_clusters,
+        q_dedup_ngram_jaccard,
+    )
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(400)]
+    base = [vocab[int(i)] for i in rng.integers(0, len(vocab), 60)]
+    a = list(base)
+    b = list(base); b[3] = "xb3"; b[9] = "xb9"; b[33] = "xb33"; b[45] = "xb45"
+    c = list(b);    c[12] = "xc12"; c[25] = "xc25"; c[50] = "xc50"; c[57] = "xc57"
+    # a<->b and b<->c differ by 4 tokens each (jaccard ~0.75 >= 0.6);
+    # a<->c differ by 8 (jaccard ~0.6-; verify below via the exact pairs)
+    rows = [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c))]
+    for i in range(3, 30):  # unrelated noise docs
+        rows.append((i, " ".join(vocab[int(j)] for j in rng.integers(0, len(vocab), 60))))
+    d = tmp_path / "chain"
+    d.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet"), index=False
+    )
+
+    pairs = _pairs(q_dedup_ngram_jaccard(str(d)).to_pandas())
+    assert (0, 1) in pairs and (1, 2) in pairs
+    assert (0, 2) not in pairs, "A~C must be sub-threshold for the chain test"
+
+    cl = q_dedup_clusters(str(d)).to_pandas().sort_values("doc_id")
+    assert list(cl["doc_id"]) == [0, 1, 2]
+    assert list(cl["cluster_id"]) == [0, 0, 0], "chain must merge transitively"
+    assert list(cl["is_canonical"]) == [True, False, False]

@@ -401,3 +401,53 @@ FROM m
 
 QUERIES["quality_flags"] = q_quality_flags
 ORACLES["quality_flags"] = SQL_QUALITY_FLAGS
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sampling: per-language quota (training-mix op)
+# ---------------------------------------------------------------------------
+STRAT_K = 40          # docs kept per language stratum
+STRAT_MULT = 2654435761  # Knuth multiplicative hash; pseudo-random, SQL-exact
+STRAT_MOD = 2147483647
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-language quota sampling: keep the STRAT_K docs with the smallest
+    deterministic pseudo-random rank ((doc_id * Knuth) % M) in each lang —
+    the data-mixture op that balances language strata reproducibly across
+    engines and runs (pure function of the key, like `sample_docs`).
+
+    Distributed per-group top-k: each batch emits its per-lang partial
+    top-K (bounded: K x langs rows per batch), one lang-keyed shuffle
+    finishes the selection — no global sort, no full shuffle of the docs.
+    Ties cannot occur (the multiplier is odd -> rank is a bijection mod M
+    over doc_id)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rk"] = (df["doc_id"].astype("int64") * STRAT_MULT) % STRAT_MOD
+        return df.sort_values("rk").groupby("lang", as_index=False).head(STRAT_K)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values("rk").groupby("lang", as_index=False).head(STRAT_K)
+        return out[["doc_id", "lang", "n_chars", "rk"]]
+
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(parts, final, key="lang", sort_cols=["lang", "rk"],
+                            num_buckets=8)
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars, (doc_id * {STRAT_MULT}) % {STRAT_MOD} AS rk,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * {STRAT_MULT}) % {STRAT_MOD}) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rk FROM r WHERE rn <= {STRAT_K}
+"""
+
+QUERIES["sample_stratified"] = q_sample_stratified
+ORACLES["sample_stratified"] = SQL_SAMPLE_STRATIFIED

@@ -1076,3 +1076,74 @@ def approx_distinct_convs(sf_dir: str) -> float:
     if est <= 2.5 * m and zeros:  # small-range linear counting correction
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# session-level rollup: one row per (conv_id, session_id) — the session
+# feature TABLE (the reference materializes per-entity-epoch tables the
+# same way; ref feature_store_runner.py:39-55 store shape)
+# ---------------------------------------------------------------------------
+def q_session_stats(sf_dir: str):
+    """Per-session aggregates over the engine's sessionization: turn count,
+    wall duration, tool-turn count, cents-exact mean value. One conv_id
+    bucket shuffle; sessionization + rollup run vectorized in-bucket."""
+    from nfl_feature_store_ray.schemas import QUANT_SCALE, SESSION_GAP_S
+
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "role", "value"])
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        gap = g.groupby("conv_id")["ts"].diff().dt.total_seconds()
+        g["session_id"] = (
+            (gap > SESSION_GAP_S).fillna(False).astype("int32")
+            .groupby(g["conv_id"]).cumsum()
+        )
+        g["_c"] = np.rint(g["value"].to_numpy(dtype="float64") * QUANT_SCALE)
+        g["_tool"] = (g["role"] == "tool").astype("int64")
+        out = g.groupby(["conv_id", "session_id"], as_index=False).agg(
+            n_turns=("value", "size"),
+            t0=("ts", "min"),
+            t1=("ts", "max"),
+            n_tool=("_tool", "sum"),
+            _cs=("_c", "sum"),
+        )
+        out["duration_s"] = round_half_away(
+            (out["t1"] - out["t0"]).dt.total_seconds().astype("float64"), 6
+        )
+        out["avg_value"] = round_half_away(
+            out["_cs"].to_numpy(dtype="float64")
+            / (QUANT_SCALE * out["n_turns"].to_numpy(dtype="float64")), 6
+        )
+        out["session_id"] = out["session_id"].astype("int32")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["n_tool"] = out["n_tool"].astype("int64")
+        return out[["conv_id", "session_id", "n_turns", "duration_s", "n_tool",
+                    "avg_value"]]
+
+    return map_conv_buckets(pruned, rollup, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_SESSION_STATS = f"""{_T},
+g AS (
+  SELECT conv_id, ts, _seq, value, role,
+         CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (
+  SELECT conv_id, ts, value, role,
+         CAST(SUM(brk) OVER ({_W}) AS INTEGER) AS session_id
+  FROM g
+)
+SELECT conv_id, session_id,
+       COUNT(*) AS n_turns,
+       ROUND(CAST(epoch(MAX(ts) - MIN(ts)) AS DOUBLE), 6) AS duration_s,
+       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+       ROUND(SUM(ROUND(value * 100)) / (100.0 * COUNT(*)), 6) AS avg_value
+FROM s GROUP BY conv_id, session_id
+"""
+
+QUERIES["session_stats"] = q_session_stats
+ORACLES["session_stats"] = SQL_SESSION_STATS

@@ -1147,3 +1147,35 @@ FROM s GROUP BY conv_id, session_id
 
 QUERIES["session_stats"] = q_session_stats
 ORACLES["session_stats"] = SQL_SESSION_STATS
+
+
+# ---------------------------------------------------------------------------
+# continuous-time decayed sum (per-SECOND decay; complements the per-ROW
+# EWMA family). NO SQL oracle: numpy/DuckDB exp differ in the last ulp
+# (state/decay.py docstring) — gated rows-only by the driver, pinned by
+# tests/test_decay.py against an O(n^2) pairwise reference.
+# ---------------------------------------------------------------------------
+def q_time_decay(sf_dir: str):
+    from nfl_feature_store_ray.state.decay import DECAY_TAU_S, time_decayed_sum
+
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "value"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        codes = pd.factorize(g["conv_id"])[0].astype(np.int64)
+        t = g["ts"].astype("int64").to_numpy() / 1e6  # us -> s
+        y = time_decayed_sum(
+            g["value"].to_numpy(dtype="float64"), t, codes, tau=DECAY_TAU_S
+        )
+        turn_idx = (g.groupby("conv_id").cumcount()).astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "decay_sum": round_half_away(y, 6)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+QUERIES["w_time_decay"] = q_time_decay  # rows-only (no exact SQL possible)

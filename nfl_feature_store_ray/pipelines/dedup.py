@@ -270,46 +270,9 @@ LIST_BUCKETS = 8  # partition count of the persisted shingle-list table
 
 
 def _lists_dir_for(sf_dir: str) -> str:
-    import hashlib
-    import os
+    from nfl_feature_store_ray.functions.scratch import scratch_dir
 
-    tag = hashlib.blake2b(os.path.abspath(sf_dir).encode(), digest_size=8).hexdigest()
-    return f"/tmp/nfl_fs_shingle_lists/{tag}-b{LIST_BUCKETS}"
-
-
-def minhash_lists_partitioned(sf_dir: str, base_dir: str | None = None) -> str:
-    """Persist the per-doc (sorted shingle-hash array, band keys) table as
-    a HASH-PARTITIONED parquet intermediate keyed by hash(doc_id), with
-    per-partition lineage manifests — the 100-TB shape the round-2 verdict
-    asked to EXECUTE (#3).
-
-    ONE pass over documents computes both payloads (`_ListsAndBands`); the
-    table is written once (resumable — a re-run with the same input
-    fingerprint skips every partition's transform+write), lives in storage
-    rather than pinned in the object store, and downstream stages stream
-    partition files / filtered row groups directly. Rows are sorted by
-    doc_id inside each partition so doc_id predicates prune row groups at
-    scale. Returns the partition directory."""
-    from nfl_feature_store_ray.state.manifest import write_partitioned
-
-    if base_dir is None:
-        base_dir = _lists_dir_for(sf_dir)
-    docs = read_table(
-        sf_dir, "documents", columns=["doc_id", "text"], override_num_blocks=DOC_BLOCKS
-    )
-    lists = docs.map_batches(_lists_and_bands, batch_format="pandas")
-    write_partitioned(
-        lists, base_dir, key="doc_id", num_buckets=LIST_BUCKETS,
-        transform=lambda g: g.sort_values("doc_id"),
-    )
-    return base_dir
-
-
-def _list_part_paths(lists_dir: str) -> list[str]:
-    import glob
-    import os
-
-    return sorted(glob.glob(os.path.join(lists_dir, "part-*.parquet")))
+    return scratch_dir("nfl_fs_shingle_lists", sf_dir) + f"-b{LIST_BUCKETS}"
 
 
 def _verify_pairs_distributed(lists_dir: str, cand, threshold: float):
@@ -353,6 +316,17 @@ def _verify_pairs_distributed(lists_dir: str, cand, threshold: float):
             filter=pads.field("doc_id").isin(pa.array(ids, type=pa.int64())),
         )
         lut = dict(zip(tbl["doc_id"].to_pylist(), tbl["shl"].to_pylist()))
+        if len(lut) < len(ids):
+            # every candidate id MUST have a committed list row — a miss
+            # means the persisted intermediate is stale or not visible to
+            # this node (e.g. node-local /tmp on a multi-node cluster);
+            # silently scoring such pairs 0 would hide data loss
+            missing = sorted(set(ids.tolist()) - set(lut))[:5]
+            raise RuntimeError(
+                f"shingle-list partitions missing {len(ids) - len(lut)} doc "
+                f"ids (e.g. {missing}) under {lists_dir}; persisted "
+                "intermediate is stale or not shared storage"
+            )
         empty = b""
         jac = np.fromiter(
             (

@@ -10,8 +10,6 @@ partition (north rule: "resumes mid-shuffle, per-partition lineage").
 
 from __future__ import annotations
 
-import hashlib
-import os
 import shutil
 
 import numpy as np
@@ -35,8 +33,9 @@ RESUME_BUCKETS = 16
 
 
 def _gate_dir(prefix: str, sf_dir: str) -> str:
-    tag = hashlib.blake2b(os.path.abspath(sf_dir).encode(), digest_size=8).hexdigest()
-    return f"/tmp/{prefix}/{tag}"
+    from nfl_feature_store_ray.functions.scratch import scratch_dir
+
+    return scratch_dir(prefix, sf_dir)
 
 
 def q_resume_manifest(sf_dir: str):

@@ -413,24 +413,32 @@ STRAT_MOD = 2147483647
 
 def q_sample_stratified(sf_dir: str):
     """Per-language quota sampling: keep the STRAT_K docs with the smallest
-    deterministic pseudo-random rank ((doc_id * Knuth) % M) in each lang —
-    the data-mixture op that balances language strata reproducibly across
-    engines and runs (pure function of the key, like `sample_docs`).
+    deterministic pseudo-random rank (((doc_id % M) * Knuth) % M) in each
+    lang — the data-mixture op that balances language strata reproducibly
+    across engines and runs (pure function of the key, like `sample_docs`).
 
     Distributed per-group top-k: each batch emits its per-lang partial
     top-K (bounded: K x langs rows per batch), one lang-keyed shuffle
     finishes the selection — no global sort, no full shuffle of the docs.
-    Ties cannot occur (the multiplier is odd -> rank is a bijection mod M
-    over doc_id)."""
+    The pre-mod keeps the product < 2^62 (no int64 wrap in numpy, no
+    BIGINT overflow error in DuckDB, for ANY doc_id); ids differing by a
+    multiple of M share a rank, so ties are pinned by (rk, doc_id) on
+    both sides."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["rk"] = (df["doc_id"].astype("int64") * STRAT_MULT) % STRAT_MOD
-        return df.sort_values("rk").groupby("lang", as_index=False).head(STRAT_K)
+        df["rk"] = ((df["doc_id"].astype("int64") % STRAT_MOD) * STRAT_MULT) % STRAT_MOD
+        return (
+            df.sort_values(["rk", "doc_id"], kind="mergesort")
+            .groupby("lang", as_index=False).head(STRAT_K)
+        )
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values("rk").groupby("lang", as_index=False).head(STRAT_K)
+        out = (
+            group.sort_values(["rk", "doc_id"], kind="mergesort")
+            .groupby("lang", as_index=False).head(STRAT_K)
+        )
         return out[["doc_id", "lang", "n_chars", "rk"]]
 
     from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
@@ -442,8 +450,12 @@ def q_sample_stratified(sf_dir: str):
 
 SQL_SAMPLE_STRATIFIED = f"""
 WITH r AS (
-  SELECT doc_id, lang, n_chars, (doc_id * {STRAT_MULT}) % {STRAT_MOD} AS rk,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * {STRAT_MULT}) % {STRAT_MOD}) AS rn
+  SELECT doc_id, lang, n_chars,
+         ((doc_id % {STRAT_MOD}) * {STRAT_MULT}) % {STRAT_MOD} AS rk,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % {STRAT_MOD}) * {STRAT_MULT}) % {STRAT_MOD}, doc_id
+         ) AS rn
   FROM documents
 )
 SELECT doc_id, lang, n_chars, rk FROM r WHERE rn <= {STRAT_K}

@@ -1164,7 +1164,9 @@ def q_time_decay(sf_dir: str):
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
         codes = pd.factorize(g["conv_id"])[0].astype(np.int64)
-        t = g["ts"].astype("int64").to_numpy() / 1e6  # us -> s
+        # defensive unit pin: a ns-resolution ts column would silently turn
+        # tau=3600s into 3.6s of real time without this cast
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
         y = time_decayed_sum(
             g["value"].to_numpy(dtype="float64"), t, codes, tau=DECAY_TAU_S
         )

@@ -141,4 +141,17 @@ def write_partitioned(
         ds, out_dir, key=key, num_buckets=num_buckets, transform=transform,
         fingerprint_cols=fingerprint_cols,
     )
-    return manifests.to_pandas().sort_values("bucket").reset_index(drop=True)
+    man = manifests.to_pandas().sort_values("bucket").reset_index(drop=True)
+    # prune STALE partitions: a bucket whose keys all disappeared from the
+    # input emits no commit task, so its old files would otherwise survive
+    # and leak removed rows into glob-based readers of the layout
+    import glob
+
+    live = {f"part-{int(b):05d}" for b in man["bucket"]}
+    for path in glob.glob(os.path.join(out_dir, "part-*.parquet")) + glob.glob(
+        os.path.join(out_dir, "part-*.json")
+    ):
+        stem = os.path.basename(path).rsplit(".", 1)[0]
+        if stem not in live:
+            os.remove(path)
+    return man

@@ -55,7 +55,9 @@ def test_prefix_truncation_leakage_property():
     full = time_decayed_sum(x, t, c)
     cut = len(df) * 2 // 3
     part = time_decayed_sum(x[:cut], t[:cut], c[:cut])
-    np.testing.assert_array_equal(full[:cut], part)
+    # allclose, not bitwise: the last shared chunk's tril@X runs over
+    # different matrix widths, and BLAS may group summands differently
+    np.testing.assert_allclose(full[:cut], part, rtol=1e-12, atol=0)
 
 
 def test_query_end_to_end_rows():

@@ -75,3 +75,29 @@ def test_unchanged_input_all_skipped():
         rd.from_arrow(tbl), OUT, key="conv_id", num_buckets=8, transform=_transform
     )
     assert man3["skipped"].all()
+
+
+def test_stale_partitions_pruned_when_keys_vacate():
+    """A bucket whose conversations all disappear from the input must not
+    leave its old partition file behind (glob-based readers of the layout
+    would otherwise resurrect removed rows)."""
+    out = "/tmp/nfl_fs_resume_prune"
+    shutil.rmtree(out, ignore_errors=True)
+    tbl = generate_transcripts(n_convs=30, mean_turns=10, seed=41)
+    write_partitioned(rd.from_arrow(tbl), out, key="conv_id", num_buckets=8,
+                      transform=_transform)
+    n_before = len(glob.glob(f"{out}/part-*.parquet"))
+
+    sub = tbl.to_pandas()
+    keep = sorted(sub["conv_id"].unique())[:3]
+    sub = sub[sub["conv_id"].isin(keep)]
+    import pyarrow as pa
+
+    man = write_partitioned(
+        rd.from_arrow(pa.Table.from_pandas(sub, preserve_index=False)), out,
+        key="conv_id", num_buckets=8, transform=_transform,
+    )
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == len(man) < n_before
+    got = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert set(got["conv_id"]) == set(keep)

@@ -42,6 +42,13 @@ def shingle_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     by doc, arbitrary order within a doc — callers hash or sort anyway).
     Same semantics as ``shingle_set`` per doc: lowercase, split on ' ',
     DISTINCT k-grams, empty set when the doc has < k tokens.
+
+    NOTE: Polars 2.0 will flip ``str.split``'s ``empty_as_null`` default
+    (deprecation warning on 1.42; the kwarg does not exist yet so it
+    cannot be pinned here). The required semantics — '' splits to ['']
+    like Python's ``''.split(' ')`` — are pinned by
+    tests/test_textfuncs_property.py against the Python reference, which
+    will fail loudly on a polars upgrade that changes behavior.
     """
     import os
 

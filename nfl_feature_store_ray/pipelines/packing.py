@@ -41,25 +41,25 @@ def _token_counts(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def q_pack_sequences(sf_dir: str):
-    """Greedy contiguous sequence packing: assign each document (in doc_id
-    order) a pack_id and in-pack offset under a PACK_BUDGET token budget,
-    via the two-phase distributed scan described in the module docstring."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+def pack_scan(toks):
+    """Two-phase distributed prefix-sum packing over a ``(doc_id,
+    n_tokens)`` dataset (see module docstring): pass 1 streams per-range
+    partial sums to the driver (one tiny row per range), pass 2 is one
+    range-keyed shuffle adding the broadcast exclusive offsets."""
 
-    # ---- pass 1: per-bucket token sums (streamed partials, tiny rows) ----
+    # ---- pass 1: per-range token sums (streamed partials, tiny rows) ----
     def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
-        t = _token_counts(df)
+        t = df.copy()
         t["_rb"] = t["doc_id"] // PACK_RANGE
         g = t.groupby("_rb", as_index=False)["n_tokens"].sum()
         return g.rename(columns={"n_tokens": "s"})
 
-    parts = docs.map_batches(bucket_sums, batch_format="pandas").to_pandas()
+    parts = toks.map_batches(bucket_sums, batch_format="pandas").to_pandas()
     totals = parts.groupby("_rb")["s"].sum().sort_index()
-    # exclusive prefix offsets, broadcast as a plain dict (O(buckets))
+    # exclusive prefix offsets, broadcast as a plain dict (O(ranges))
     offsets = dict(zip(totals.index, np.concatenate([[0], totals.to_numpy().cumsum()[:-1]])))
 
-    # ---- pass 2: one range-bucket shuffle; offset + in-range cumsum ----
+    # ---- pass 2: one range-keyed shuffle; offset + in-range cumsum ----
     # a hash bucket may hold SEVERAL _rb ranges (hash collisions over the
     # range ids) — the cumsum must restart per range, each with its own
     # broadcast offset
@@ -81,16 +81,23 @@ def q_pack_sequences(sf_dir: str):
             )
         return pd.concat(outs, ignore_index=True)
 
-    toks = docs.map_batches(_token_counts, batch_format="pandas")
-
     def add_rb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
         df["_rb"] = df["doc_id"] // PACK_RANGE
         return df
 
-    toks = toks.map_batches(add_rb, batch_format="pandas")
     return map_conv_buckets(
-        toks, pack, key="_rb", sort_cols=["doc_id"], num_buckets=16
+        toks.map_batches(add_rb, batch_format="pandas"), pack,
+        key="_rb", sort_cols=["doc_id"], num_buckets=16,
     )
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy contiguous sequence packing: assign each document (in doc_id
+    order) a pack_id and in-pack offset under a PACK_BUDGET token budget,
+    via the two-phase distributed scan described in the module docstring."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_scan(docs.map_batches(_token_counts, batch_format="pandas"))
 
 
 _NT = """CASE WHEN length(coalesce(text, '')) > 0
@@ -195,3 +202,140 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
 }
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END CURATION COMPOSITE: quality filter -> decontamination ->
+# exact dedup -> sequence packing, as ONE pipeline — the full assembly
+# path a 100-TB training-data ingest runs, gated end to end.
+# ---------------------------------------------------------------------------
+def q_curate_corpus(sf_dir: str):
+    """Curate the training corpus and pack the survivors:
+
+      1. quality filter (quality_flags semantics: token bounds + dup-
+         trigram cap) and 13-gram decontamination vs the eval slice —
+         BOTH flags in one shuffle-free actor pass (eval grams broadcast)
+      2. exact dedup among the ELIGIBLE docs (min-doc_id survivor per
+         text) — one text-hash bucket shuffle
+      3. sequence packing of survivors in doc_id order — the two-phase
+         distributed scan (`pack_scan`)
+
+    The survivor set is materialized between 2 and 3 because the scan
+    needs two passes over it; it is (doc_id, n_tokens) only — 16 B/doc.
+    At 100 TB, persist it via the partitioned-commit path instead and
+    point `pack_scan` at the re-read (same shape, resumable)."""
+    import ray as _ray
+
+    from nfl_feature_store_ray.functions.rounding import round_half_away
+    from nfl_feature_store_ray.pipelines.text_analysis import (
+        QF_DUP_MAX,
+        QF_TOK_MAX,
+        QF_TOK_MIN,
+    )
+
+    grams_ref = _ray.put(eval_gram_set(sf_dir))
+
+    class Eligible:
+        def __init__(self):
+            self.grams = _ray.get(grams_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            tr = df[df["doc_id"] % DECON_EVAL_MOD != 0].reset_index(drop=True)
+            low = tr["text"].str.lower()
+            n_chars = low.str.len().fillna(0).to_numpy(dtype=np.int64)
+            n_tokens = np.where(
+                n_chars > 0, low.str.count(" ").fillna(-1).to_numpy() + 1, 0
+            ).astype(np.int64)
+            distinct_tri = tf.shingle_flat(tr["text"].to_numpy(), k=3)[0]
+            total_tri = np.maximum(n_tokens - 2, 0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dup = np.where(total_tri > 0, 1.0 - distinct_tri / total_tri, 0.0)
+            keep = (
+                (n_tokens >= QF_TOK_MIN) & (n_tokens <= QF_TOK_MAX)
+                & (round_half_away(dup, 6) <= QF_DUP_MAX)
+            )
+            counts, flat = tf.shingle_flat(tr["text"].to_numpy(), k=DECON_K)
+            hit = pd.Series(flat).isin(self.grams).to_numpy()
+            ends = counts.cumsum()
+            contaminated = np.zeros(len(tr), dtype=bool)
+            nz = counts > 0
+            if nz.any():
+                cs = np.concatenate([[0], hit.cumsum()])
+                contaminated[nz] = (cs[ends[nz]] - cs[(ends - counts)[nz]]) > 0
+            ok = keep & ~contaminated
+            out = tr.loc[ok, ["doc_id", "text"]].copy()
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["n_tokens"] = n_tokens[ok]
+            return out
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    elig = docs.map_batches(Eligible, batch_format="pandas", concurrency=(1, 4))
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = tf.hash61_array(df["text"].to_numpy())
+        return df
+
+    def survivors(group: pd.DataFrame) -> pd.DataFrame:
+        keep = group.groupby("text")["doc_id"].transform("min") == group["doc_id"]
+        return group.loc[keep, ["doc_id", "n_tokens"]]
+
+    surv = map_conv_buckets(
+        elig.map_batches(add_hash, batch_format="pandas"), survivors,
+        key="_h", sort_cols=["_h", "doc_id"],
+    ).materialize()  # (doc_id, n_tokens) only; see docstring for 100-TB path
+
+    return pack_scan(surv)
+
+
+from nfl_feature_store_ray.pipelines.text_analysis import (  # noqa: E402
+    QF_DUP_MAX as _QF_DUP_MAX,
+    QF_TOK_MAX as _QF_TOK_MAX,
+    QF_TOK_MIN as _QF_TOK_MIN,
+)
+
+SQL_CURATE_CORPUS = f"""
+WITH ws AS (SELECT doc_id, text, lower(text) AS lt,
+                   string_split(lower(text), ' ') AS w FROM documents),
+tri AS (SELECT doc_id, lt, w, {_gram_expr(3)} AS t3 FROM ws),
+qm AS (
+  SELECT doc_id,
+         CASE WHEN length(lt) > 0 THEN len(w) ELSE 0 END AS n_tokens,
+         ROUND(CASE WHEN len(t3) > 0
+                    THEN 1.0 - len(list_distinct(t3)) / CAST(len(t3) AS DOUBLE)
+                    ELSE 0.0 END, 6) AS dup3
+  FROM tri
+),
+g AS (SELECT doc_id, {_gram_expr(DECON_K)} AS gs FROM ws),
+ev AS (SELECT DISTINCT unnest(gs) AS eg FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0),
+trn AS (SELECT doc_id, unnest(gs) AS tg FROM g WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+hits AS (SELECT DISTINCT trn.doc_id FROM trn JOIN ev ON trn.tg = ev.eg),
+elig AS (
+  SELECT d.doc_id, d.text, qm.n_tokens
+  FROM documents d
+  JOIN qm ON qm.doc_id = d.doc_id
+  LEFT JOIN hits ON hits.doc_id = d.doc_id
+  WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    AND qm.n_tokens BETWEEN {_QF_TOK_MIN} AND {_QF_TOK_MAX}
+    AND qm.dup3 <= {_QF_DUP_MAX}
+    AND hits.doc_id IS NULL
+),
+surv AS (
+  SELECT doc_id, n_tokens
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS mn FROM elig)
+  WHERE doc_id = mn
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM surv
+)
+SELECT doc_id, n_tokens,
+       CAST(start // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+QUERIES["curate_corpus"] = q_curate_corpus
+ORACLES["curate_corpus"] = SQL_CURATE_CORPUS

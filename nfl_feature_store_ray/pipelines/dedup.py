@@ -56,7 +56,9 @@ def q_dedup_exact(sf_dir: str):
     hashed = docs.map_batches(add_hash, batch_format="pandas")
 
     def survivors(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("text", as_index=False).agg(
+        # dropna=False: SQL GROUP BY keeps NULL text as one group — all
+        # null-text docs are exact duplicates of each other
+        g = group.groupby("text", as_index=False, dropna=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
         return g[["doc_id", "n_copies"]]

@@ -121,8 +121,11 @@ _PRED_CASE = "CASE " + " ".join(
     for lang in tf.LANGS
 ) + " END"
 
+# null text ≡ empty document (engine contract: a null doc scores 0 for
+# every language and predicts the tie-break language, like '') — the
+# coalesce pins the oracle to the same semantics
 SQL_LANG_ID = f"""
-WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+WITH ws AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w FROM documents),
 s AS (
   SELECT doc_id,
          {", ".join(f"{_score_sql(lang)} AS score_{lang}" for lang in tf.LANGS)}
@@ -246,11 +249,14 @@ def q_token_counts(sf_dir: str):
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         low = df["text"].str.lower()
         # both paths run in C: split-count via substring count (+1), regex
-        # token count via Series.str.count (re2-style vectorized findall len)
+        # token count via Series.str.count (re2-style vectorized findall
+        # len). null ≡ empty doc: ''.split(' ') == [''] -> ONE whitespace
+        # token (fillna(0)+1), zero regex tokens — matches the coalesce'd
+        # oracle
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "ws_tokens": (low.str.count(" ").fillna(-1) + 1).astype("int64"),
+                "ws_tokens": (low.str.count(" ").fillna(0) + 1).astype("int64"),
                 "re_tokens": low.str.count(pat).fillna(0).astype("int64"),
             }
         )
@@ -258,10 +264,12 @@ def q_token_counts(sf_dir: str):
     return docs.map_batches(counts, batch_format="pandas")
 
 
+# null text ≡ empty document (0 regex tokens; 1 whitespace token, like
+# '' -> [''] — the engine's count(' ')+1 convention)
 SQL_TOKEN_COUNTS = r"""
 SELECT doc_id,
-       len(string_split(lower(text), ' ')) AS ws_tokens,
-       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS re_tokens
+       len(string_split(lower(coalesce(text, '')), ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+|[^a-z0-9\s]')) AS re_tokens
 FROM documents
 """
 

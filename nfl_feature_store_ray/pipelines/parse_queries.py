@@ -41,9 +41,13 @@ def q_parse_props(sf_dir: str):
     return ts.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# NULLIF: DuckDB regexp_extract returns '' (not NULL) on no-match, and
+# CAST('' AS INTEGER) raises — the engine's pyarrow extract_regex yields
+# NULL for unmatched rows, so the oracle must map '' -> NULL to agree on
+# corpora with malformed props (caught by the adversarial events fuzz)
 SQL_PARSE_PROPS = f"""{_T}
 SELECT conv_id, _seq,
-       CAST(regexp_extract(text, '"k": (\\d+)', 1) AS INTEGER) AS k_value
+       CAST(NULLIF(regexp_extract(text, '"k": (\\d+)', 1), '') AS INTEGER) AS k_value
 FROM t
 """
 

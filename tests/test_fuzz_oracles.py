@@ -82,3 +82,84 @@ def test_fuzz_query_matches_oracle(name, fuzz_dir):
     a = np.sort(rr.astype(str).agg("|".join, axis=1).to_numpy())
     b = np.sort(ss.astype(str).agg("|".join, axis=1).to_numpy())
     assert (a == b).all(), f"{name}: values differ"
+
+
+# --------------------------------------------------------------------------
+# adversarial EVENTS corpus: exact ts ties, single-event users, >24h session
+# breaks, malformed props ('', '{}', 'notjson'), event types outside the
+# role mapping — the transcript-family equivalent of the documents fuzz.
+# Round-3 catch: parse_props' oracle CAST('' AS INTEGER) on no-match props
+# (DuckDB regexp_extract returns '' not NULL).
+# --------------------------------------------------------------------------
+EVENTS_FUZZ_DIR = "/tmp/nfl_fs_fuzz_events_test"
+
+EVENT_QUERIES = [
+    "w_lag_gap", "w_rolling", "w_session_avg", "w_rank_composite",
+    "w_densify_seeded", "w_asof_checkpoint", "w_phase_windows", "wide_slice",
+    "w_sliding_window", "w_tumbling", "w_label_split", "session_stats",
+    "resume_manifest", "w_rolling_streaming", "parse_props", "pair_join",
+    "agg_career",
+]
+
+
+@pytest.fixture(scope="module")
+def events_fuzz_dir():
+    rng = np.random.default_rng(77)
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-02-01")
+    types = ["click", "view", "purchase", "signup", "error", "search", "refund"]
+    for u in range(40):
+        n = 1 if u % 13 == 0 else int(rng.integers(2, 60))
+        t = base + pd.Timedelta(minutes=int(rng.integers(0, 5000)))
+        for k in range(n):
+            r = rng.random()
+            if r < 0.15 and k > 0:
+                dt = pd.Timedelta(0)          # exact ts tie
+            elif r < 0.25:
+                dt = pd.Timedelta(hours=30)   # session break
+            else:
+                dt = pd.Timedelta(seconds=int(rng.integers(1, 400)))
+            t = t + dt
+            pr = rng.random()
+            props = (
+                '{"k": %d}' % int(rng.integers(0, 99)) if pr < 0.85
+                else ("" if pr < 0.9 else ("{}" if pr < 0.95 else "notjson"))
+            )
+            rows.append((eid, t, u, types[int(rng.integers(0, len(types)))],
+                         float(np.round(rng.random() * 300, 2)), props))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                     "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    shutil.rmtree(EVENTS_FUZZ_DIR, ignore_errors=True)
+    os.makedirs(EVENTS_FUZZ_DIR)
+    ev.to_parquet(os.path.join(EVENTS_FUZZ_DIR, "events.parquet"), index=False)
+    yield EVENTS_FUZZ_DIR
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_events_fuzz_query_matches_oracle(name, events_fuzz_dir):
+    import __ray_entry__ as e
+
+    r = e.queries()[name](events_fuzz_dir)
+    r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{events_fuzz_dir}/events.parquet')"
+    )
+    s = con.execute(e.oracle_sql()[name]).df()
+    assert len(r) == len(s), f"{name}: rows {len(r)} != {len(s)}"
+    cols = sorted(r.columns)
+    assert cols == sorted(s.columns), name
+    rr, ss = r[cols].copy(), s[cols].copy()
+    for c in cols:
+        if rr[c].dtype.kind in "fc" or ss[c].dtype.kind in "fc":
+            rr[c] = rr[c].astype(float).round(6)
+            ss[c] = ss[c].astype(float).round(6)
+        if rr[c].dtype.kind == "M":
+            rr[c] = rr[c].astype("datetime64[us]")
+        if ss[c].dtype.kind == "M":
+            ss[c] = ss[c].astype("datetime64[us]")
+    a = np.sort(rr.astype(str).agg("|".join, axis=1).to_numpy())
+    b = np.sort(ss.astype(str).agg("|".join, axis=1).to_numpy())
+    assert (a == b).all(), f"{name}: values differ"

@@ -132,6 +132,11 @@ def q_ann_cosine_topk(sf_dir: str):
     return _final_topk(partials.to_pandas(), TOP_K)
 
 
+# Zero-norm contract: cosine with a zero vector is UNDEFINED; the engine
+# (`_norm_rows`) defines it as 0.0 (a zero vector is orthogonal-to-
+# everything), while DuckDB's list_cosine_similarity emits -1 — the CASE
+# pins the oracle to the engine's convention (caught by the embeddings
+# fuzz with a planted zero vector).
 SQL_ANN_TOPK = f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -139,8 +144,13 @@ WITH q AS (
 ),
 s AS (
   SELECT q.qid, e.vec_id,
-         ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
-           AS cos_sim
+         CASE WHEN list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) = 0
+                OR list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) = 0
+              THEN 0.0
+              ELSE ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])), 6)
+         END AS cos_sim
   FROM q CROSS JOIN embeddings e
   WHERE e.vec_id != q.qid
 ),

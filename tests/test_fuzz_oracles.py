@@ -163,3 +163,53 @@ def test_events_fuzz_query_matches_oracle(name, events_fuzz_dir):
     a = np.sort(rr.astype(str).agg("|".join, axis=1).to_numpy())
     b = np.sort(ss.astype(str).agg("|".join, axis=1).to_numpy())
     assert (a == b).all(), f"{name}: values differ"
+
+
+# --------------------------------------------------------------------------
+# adversarial EMBEDDINGS corpus: zero vector (cosine undefined — engine
+# convention 0.0, oracle pinned via CASE), exact/scaled duplicates
+# (cos = 1), antipodal pair (cos = -1).
+# --------------------------------------------------------------------------
+EMB_FUZZ_DIR = "/tmp/nfl_fs_fuzz_emb_test"
+
+
+@pytest.fixture(scope="module")
+def emb_fuzz_dir():
+    rng = np.random.default_rng(55)
+    vecs = rng.normal(size=(200, 64))
+    vecs[7] = 0.0
+    vecs[23] = vecs[11]
+    vecs[45] = vecs[12] * 3.0
+    vecs[60] = -vecs[13]
+    df = pd.DataFrame(
+        {"vec_id": range(200),
+         "embedding": [v.astype(np.float32).tolist() for v in vecs]}
+    )
+    shutil.rmtree(EMB_FUZZ_DIR, ignore_errors=True)
+    os.makedirs(EMB_FUZZ_DIR)
+    df.to_parquet(os.path.join(EMB_FUZZ_DIR, "embeddings.parquet"), index=False)
+    yield EMB_FUZZ_DIR
+
+
+@pytest.mark.parametrize("name", ["ann_cosine_topk", "dedup_embedding"])
+def test_emb_fuzz_query_matches_oracle(name, emb_fuzz_dir):
+    import __ray_entry__ as e
+
+    r = e.queries()[name](emb_fuzz_dir)
+    r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{emb_fuzz_dir}/embeddings.parquet')"
+    )
+    s = con.execute(e.oracle_sql()[name]).df()
+    assert len(r) == len(s), f"{name}: rows {len(r)} != {len(s)}"
+    cols = sorted(r.columns)
+    assert cols == sorted(s.columns), name
+    rr, ss = r[cols].copy(), s[cols].copy()
+    for c in cols:
+        if rr[c].dtype.kind in "fc" or ss[c].dtype.kind in "fc":
+            rr[c] = rr[c].astype(float).round(6)
+            ss[c] = ss[c].astype(float).round(6)
+    a = np.sort(rr.astype(str).agg("|".join, axis=1).to_numpy())
+    b = np.sort(ss.astype(str).agg("|".join, axis=1).to_numpy())
+    assert (a == b).all(), f"{name}: values differ"

@@ -156,6 +156,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("dedup_minhash_lsh", lambda: q_dedup_minhash_lsh(sf_dir))
     timed("ann_cosine_topk", lambda: similarity.q_ann_cosine_topk(sf_dir))
 
+    # round-3 composite: quality filter -> decontaminate -> exact dedup ->
+    # sequence packing, end to end
+    from nfl_feature_store_ray.pipelines.packing import q_curate_corpus
+
+    timed("curate_corpus", lambda: q_curate_corpus(sf_dir))
+
     result = {
         "metric": "flagship window-feature materialization wall time",
         "value": headline,

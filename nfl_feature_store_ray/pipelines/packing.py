@@ -150,27 +150,27 @@ def q_decontaminate(sf_dir: str):
 
     grams_ref = _ray.put(eval_gram_set(sf_dir))
 
-    class Flag:
-        def __init__(self):
-            self.grams = _ray.get(grams_ref)  # once per actor
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            tr = df[df["doc_id"] % DECON_EVAL_MOD != 0].reset_index(drop=True)
-            counts, flat = tf.shingle_flat(tr["text"].to_numpy(), k=DECON_K)
-            hit = pd.Series(flat).isin(self.grams).to_numpy()
-            ends = counts.cumsum()
-            starts = ends - counts
-            any_hit = np.zeros(len(tr), dtype=bool)
-            nz = counts > 0
-            if nz.any():
-                csum = np.concatenate([[0], hit.cumsum()])
-                any_hit[nz] = (csum[ends[nz]] - csum[starts[nz]]) > 0
-            return pd.DataFrame(
-                {"doc_id": tr["doc_id"].astype("int64"), "contaminated": any_hit}
-            )
+    # task-pool closure, not an actor pool: ray.get on a local object-store
+    # ref is ~ms after the first per-worker fetch, while a fresh actor pool
+    # costs ~1s spin-up per query invocation (same trade as _lists_and_bands)
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        grams = _ray.get(grams_ref)
+        tr = df[df["doc_id"] % DECON_EVAL_MOD != 0].reset_index(drop=True)
+        counts, flat = tf.shingle_flat(tr["text"].to_numpy(), k=DECON_K)
+        hit = pd.Series(flat).isin(grams).to_numpy()
+        ends = counts.cumsum()
+        starts = ends - counts
+        any_hit = np.zeros(len(tr), dtype=bool)
+        nz = counts > 0
+        if nz.any():
+            csum = np.concatenate([[0], hit.cumsum()])
+            any_hit[nz] = (csum[ends[nz]] - csum[starts[nz]]) > 0
+        return pd.DataFrame(
+            {"doc_id": tr["doc_id"].astype("int64"), "contaminated": any_hit}
+        )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(Flag, batch_format="pandas", concurrency=(1, 4))
+    return docs.map_batches(flag, batch_format="pandas")
 
 
 def _gram_expr(k: int) -> str:
@@ -235,41 +235,39 @@ def q_curate_corpus(sf_dir: str):
 
     grams_ref = _ray.put(eval_gram_set(sf_dir))
 
-    class Eligible:
-        def __init__(self):
-            self.grams = _ray.get(grams_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            tr = df[df["doc_id"] % DECON_EVAL_MOD != 0].reset_index(drop=True)
-            low = tr["text"].str.lower()
-            n_chars = low.str.len().fillna(0).to_numpy(dtype=np.int64)
-            n_tokens = np.where(
-                n_chars > 0, low.str.count(" ").fillna(-1).to_numpy() + 1, 0
-            ).astype(np.int64)
-            distinct_tri = tf.shingle_flat(tr["text"].to_numpy(), k=3)[0]
-            total_tri = np.maximum(n_tokens - 2, 0)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                dup = np.where(total_tri > 0, 1.0 - distinct_tri / total_tri, 0.0)
-            keep = (
-                (n_tokens >= QF_TOK_MIN) & (n_tokens <= QF_TOK_MAX)
-                & (round_half_away(dup, 6) <= QF_DUP_MAX)
-            )
-            counts, flat = tf.shingle_flat(tr["text"].to_numpy(), k=DECON_K)
-            hit = pd.Series(flat).isin(self.grams).to_numpy()
-            ends = counts.cumsum()
-            contaminated = np.zeros(len(tr), dtype=bool)
-            nz = counts > 0
-            if nz.any():
-                cs = np.concatenate([[0], hit.cumsum()])
-                contaminated[nz] = (cs[ends[nz]] - cs[(ends - counts)[nz]]) > 0
-            ok = keep & ~contaminated
-            out = tr.loc[ok, ["doc_id", "text"]].copy()
-            out["doc_id"] = out["doc_id"].astype("int64")
-            out["n_tokens"] = n_tokens[ok]
-            return out
+    # task-pool closure (see q_decontaminate): both flags in one pass
+    def eligible(df: pd.DataFrame) -> pd.DataFrame:
+        grams = _ray.get(grams_ref)
+        tr = df[df["doc_id"] % DECON_EVAL_MOD != 0].reset_index(drop=True)
+        low = tr["text"].str.lower()
+        n_chars = low.str.len().fillna(0).to_numpy(dtype=np.int64)
+        n_tokens = np.where(
+            n_chars > 0, low.str.count(" ").fillna(-1).to_numpy() + 1, 0
+        ).astype(np.int64)
+        distinct_tri = tf.shingle_flat(tr["text"].to_numpy(), k=3)[0]
+        total_tri = np.maximum(n_tokens - 2, 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup = np.where(total_tri > 0, 1.0 - distinct_tri / total_tri, 0.0)
+        keep = (
+            (n_tokens >= QF_TOK_MIN) & (n_tokens <= QF_TOK_MAX)
+            & (round_half_away(dup, 6) <= QF_DUP_MAX)
+        )
+        counts, flat = tf.shingle_flat(tr["text"].to_numpy(), k=DECON_K)
+        hit = pd.Series(flat).isin(grams).to_numpy()
+        ends = counts.cumsum()
+        contaminated = np.zeros(len(tr), dtype=bool)
+        nz = counts > 0
+        if nz.any():
+            cs = np.concatenate([[0], hit.cumsum()])
+            contaminated[nz] = (cs[ends[nz]] - cs[(ends - counts)[nz]]) > 0
+        ok = keep & ~contaminated
+        out = tr.loc[ok, ["doc_id", "text"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_tokens"] = n_tokens[ok]
+        return out
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    elig = docs.map_batches(Eligible, batch_format="pandas", concurrency=(1, 4))
+    elig = docs.map_batches(eligible, batch_format="pandas")
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -41,6 +41,12 @@ def _token_counts(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_PACK_SCHEMA = {
+    "doc_id": "int64", "n_tokens": "int64", "pack_id": "int64",
+    "pack_offset": "int64",
+}
+
+
 def pack_scan(toks):
     """Two-phase distributed prefix-sum packing over a ``(doc_id,
     n_tokens)`` dataset (see module docstring): pass 1 streams per-range
@@ -55,6 +61,14 @@ def pack_scan(toks):
         return g.rename(columns={"n_tokens": "s"})
 
     parts = toks.map_batches(bucket_sums, batch_format="pandas").to_pandas()
+    if parts.empty:
+        # an empty upstream (e.g. nothing survives curation) loses its
+        # schema through Ray's to_pandas (true even for typed Arrow
+        # blocks) — return the schema-complete empty result as a plain
+        # DataFrame (a valid query return type) instead of KeyError'ing
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in _PACK_SCHEMA.items()}
+        )
     totals = parts.groupby("_rb")["s"].sum().sort_index()
     # exclusive prefix offsets, broadcast as a plain dict (O(ranges))
     offsets = dict(zip(totals.index, np.concatenate([[0], totals.to_numpy().cumsum()[:-1]])))
@@ -122,6 +136,38 @@ FROM c
 DECON_K = 13          # GPT-3 decontamination n-gram size (public appendix)
 DECON_EVAL_MOD = 97   # docs with doc_id % 97 == 0 stand in for the eval set
 
+_GRAM_CACHE: dict = {}
+
+
+def _cached_gram_get(ref):
+    """Per-worker-process cache of the broadcast eval-gram set: plasma
+    zero-copies only numpy buffers, so a bare ray.get would re-unpickle
+    the whole frozenset on every batch. Holds at most one set."""
+    import ray as _ray
+
+    key = ref.hex()
+    v = _GRAM_CACHE.get(key)
+    if v is None:
+        v = _ray.get(ref)
+        _GRAM_CACHE.clear()
+        _GRAM_CACHE[key] = v
+    return v
+
+
+def contamination_mask(texts: pd.Series, grams: frozenset) -> np.ndarray:
+    """THE 13-gram contamination probe, shared by ``q_decontaminate`` and
+    the curation composite (single source of truth): True where any
+    DECON_K-gram of the doc appears in ``grams``."""
+    counts, flat = tf.shingle_flat(texts.to_numpy(), k=DECON_K)
+    hit = pd.Series(flat).isin(grams).to_numpy()
+    ends = counts.cumsum()
+    out = np.zeros(len(texts), dtype=bool)
+    nz = counts > 0
+    if nz.any():
+        cs = np.concatenate([[0], hit.cumsum()])
+        out[nz] = (cs[ends[nz]] - cs[(ends - counts)[nz]]) > 0
+    return out
+
 
 def eval_gram_set(sf_dir: str, k: int = DECON_K, mod: int = DECON_EVAL_MOD):
     """Distinct k-grams of the (small) eval slice, collected to the driver.
@@ -150,23 +196,17 @@ def q_decontaminate(sf_dir: str):
 
     grams_ref = _ray.put(eval_gram_set(sf_dir))
 
-    # task-pool closure, not an actor pool: ray.get on a local object-store
-    # ref is ~ms after the first per-worker fetch, while a fresh actor pool
-    # costs ~1s spin-up per query invocation (same trade as _lists_and_bands)
+    # task-pool closure, not an actor pool: a fresh actor pool costs ~1s
+    # spin-up per query invocation, while _cached_gram_get deserializes
+    # the gram set ONCE per worker process (a bare per-batch ray.get would
+    # re-unpickle the whole set every batch — plasma only zero-copies
+    # numpy buffers, not pickled Python sets)
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        grams = _ray.get(grams_ref)
+        grams = _cached_gram_get(grams_ref)
         tr = df[df["doc_id"] % DECON_EVAL_MOD != 0].reset_index(drop=True)
-        counts, flat = tf.shingle_flat(tr["text"].to_numpy(), k=DECON_K)
-        hit = pd.Series(flat).isin(grams).to_numpy()
-        ends = counts.cumsum()
-        starts = ends - counts
-        any_hit = np.zeros(len(tr), dtype=bool)
-        nz = counts > 0
-        if nz.any():
-            csum = np.concatenate([[0], hit.cumsum()])
-            any_hit[nz] = (csum[ends[nz]] - csum[starts[nz]]) > 0
         return pd.DataFrame(
-            {"doc_id": tr["doc_id"].astype("int64"), "contaminated": any_hit}
+            {"doc_id": tr["doc_id"].astype("int64"),
+             "contaminated": contamination_mask(tr["text"], grams)}
         )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -226,44 +266,21 @@ def q_curate_corpus(sf_dir: str):
     point `pack_scan` at the re-read (same shape, resumable)."""
     import ray as _ray
 
-    from nfl_feature_store_ray.functions.rounding import round_half_away
-    from nfl_feature_store_ray.pipelines.text_analysis import (
-        QF_DUP_MAX,
-        QF_TOK_MAX,
-        QF_TOK_MIN,
-    )
-
     grams_ref = _ray.put(eval_gram_set(sf_dir))
 
-    # task-pool closure (see q_decontaminate): both flags in one pass
+    # task-pool closure; BOTH filter decisions come from the shared
+    # single-source helpers (quality_signals, contamination_mask), so the
+    # composite can never drift from the individually-gated queries
     def eligible(df: pd.DataFrame) -> pd.DataFrame:
-        grams = _ray.get(grams_ref)
+        from nfl_feature_store_ray.pipelines.text_analysis import quality_signals
+
+        grams = _cached_gram_get(grams_ref)
         tr = df[df["doc_id"] % DECON_EVAL_MOD != 0].reset_index(drop=True)
-        low = tr["text"].str.lower()
-        n_chars = low.str.len().fillna(0).to_numpy(dtype=np.int64)
-        n_tokens = np.where(
-            n_chars > 0, low.str.count(" ").fillna(-1).to_numpy() + 1, 0
-        ).astype(np.int64)
-        distinct_tri = tf.shingle_flat(tr["text"].to_numpy(), k=3)[0]
-        total_tri = np.maximum(n_tokens - 2, 0)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            dup = np.where(total_tri > 0, 1.0 - distinct_tri / total_tri, 0.0)
-        keep = (
-            (n_tokens >= QF_TOK_MIN) & (n_tokens <= QF_TOK_MAX)
-            & (round_half_away(dup, 6) <= QF_DUP_MAX)
-        )
-        counts, flat = tf.shingle_flat(tr["text"].to_numpy(), k=DECON_K)
-        hit = pd.Series(flat).isin(grams).to_numpy()
-        ends = counts.cumsum()
-        contaminated = np.zeros(len(tr), dtype=bool)
-        nz = counts > 0
-        if nz.any():
-            cs = np.concatenate([[0], hit.cumsum()])
-            contaminated[nz] = (cs[ends[nz]] - cs[(ends - counts)[nz]]) > 0
-        ok = keep & ~contaminated
+        sig = quality_signals(tr["text"])
+        ok = sig["keep"] & ~contamination_mask(tr["text"], grams)
         out = tr.loc[ok, ["doc_id", "text"]].copy()
         out["doc_id"] = out["doc_id"].astype("int64")
-        out["n_tokens"] = n_tokens[ok]
+        out["n_tokens"] = sig["n_tokens"][ok]
         return out
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -275,7 +292,13 @@ def q_curate_corpus(sf_dir: str):
         return df
 
     def survivors(group: pd.DataFrame) -> pd.DataFrame:
-        keep = group.groupby("text")["doc_id"].transform("min") == group["doc_id"]
+        # dropna=False mirrors q_dedup_exact: SQL keeps NULL text as one
+        # group (currently unreachable here — QF_TOK_MIN excludes null
+        # docs — but the stage must not silently diverge if reused)
+        keep = (
+            group.groupby("text", dropna=False)["doc_id"].transform("min")
+            == group["doc_id"]
+        )
         return group.loc[keep, ["doc_id", "n_tokens"]]
 
     surv = map_conv_buckets(

@@ -334,6 +334,35 @@ QF_DUP_MAX = 0.02
 QF_TOK_MIN, QF_TOK_MAX = 20, 80
 
 
+def quality_signals(texts: pd.Series) -> dict:
+    """THE quality-filter math, shared by ``q_quality_flags`` and the
+    curation composite (single source of truth — any change to the keep
+    rule propagates to every consumer). Returns arrays: n_tokens,
+    dup_trigram_frac (6dp), symbol_ratio (6dp), keep."""
+    low = texts.str.lower()
+    n_chars = low.str.len().fillna(0).to_numpy(dtype=np.int64)
+    n_tokens = np.where(
+        n_chars > 0, low.str.count(" ").fillna(-1).to_numpy() + 1, 0
+    ).astype(np.int64)
+    distinct_tri = tf.shingle_flat(texts.to_numpy(), k=3)[0]
+    total_tri = np.maximum(n_tokens - 2, 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup = np.where(total_tri > 0, 1.0 - distinct_tri / total_tri, 0.0)
+        sym = np.where(
+            n_chars > 0,
+            low.str.count(r"[^a-z0-9 ]").fillna(0).to_numpy() / n_chars,
+            0.0,
+        )
+    dup6 = round_half_away(dup, 6)
+    keep = (n_tokens >= QF_TOK_MIN) & (n_tokens <= QF_TOK_MAX) & (dup6 <= QF_DUP_MAX)
+    return {
+        "n_tokens": n_tokens,
+        "dup_trigram_frac": dup6,
+        "symbol_ratio": round_half_away(sym, 6),
+        "keep": keep,
+    }
+
+
 def q_quality_flags(sf_dir: str):
     """Per-document quality filter signals, fully vectorized:
       dup_trigram_frac  1 - distinct/total word-3-grams (repetition signal;
@@ -345,33 +374,8 @@ def q_quality_flags(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def flags(df: pd.DataFrame) -> pd.DataFrame:
-        low = df["text"].str.lower()
-        n_chars = low.str.len().fillna(0).to_numpy(dtype=np.int64)
-        n_tokens = np.where(n_chars > 0,
-                            low.str.count(" ").fillna(-1).to_numpy() + 1, 0
-                            ).astype(np.int64)
-        distinct_tri = tf.shingle_flat(df["text"].to_numpy(), k=3)[0]
-        total_tri = np.maximum(n_tokens - 2, 0)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            dup = np.where(total_tri > 0, 1.0 - distinct_tri / total_tri, 0.0)
-            sym = np.where(
-                n_chars > 0,
-                low.str.count(r"[^a-z0-9 ]").fillna(0).to_numpy() / n_chars,
-                0.0,
-            )
-        keep = (
-            (n_tokens >= QF_TOK_MIN) & (n_tokens <= QF_TOK_MAX)
-            & (round_half_away(dup, 6) <= QF_DUP_MAX)
-        )
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_tokens": n_tokens,
-                "dup_trigram_frac": round_half_away(dup, 6),
-                "symbol_ratio": round_half_away(sym, 6),
-                "keep": keep,
-            }
-        )
+        sig = quality_signals(df["text"])
+        return pd.DataFrame({"doc_id": df["doc_id"], **sig})
 
     return docs.map_batches(flags, batch_format="pandas")
 
@@ -428,10 +432,12 @@ def q_sample_stratified(sf_dir: str):
     Distributed per-group top-k: each batch emits its per-lang partial
     top-K (bounded: K x langs rows per batch), one lang-keyed shuffle
     finishes the selection — no global sort, no full shuffle of the docs.
-    The pre-mod keeps the product < 2^62 (no int64 wrap in numpy, no
-    BIGINT overflow error in DuckDB, for ANY doc_id); ids differing by a
-    multiple of M share a rank, so ties are pinned by (rk, doc_id) on
-    both sides."""
+    The pre-mod bounds the product by (M-1)*MULT ~ 5.7e18 < 2^63-1, so it
+    neither wraps int64 in numpy nor overflows BIGINT in DuckDB; negative
+    ids are normalized to the non-negative residue on BOTH sides (numpy %
+    is always non-negative, SQL % keeps the dividend's sign — the oracle
+    adds +M then re-mods). Ids differing by a multiple of M share a rank,
+    so ties are pinned by (rk, doc_id) on both sides."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -456,14 +462,15 @@ def q_sample_stratified(sf_dir: str):
                             num_buckets=8)
 
 
+_RK = (
+    f"(((doc_id % {STRAT_MOD} + {STRAT_MOD}) % {STRAT_MOD})"
+    f" * {STRAT_MULT}) % {STRAT_MOD}"
+)
+
 SQL_SAMPLE_STRATIFIED = f"""
 WITH r AS (
-  SELECT doc_id, lang, n_chars,
-         ((doc_id % {STRAT_MOD}) * {STRAT_MULT}) % {STRAT_MOD} AS rk,
-         ROW_NUMBER() OVER (
-           PARTITION BY lang
-           ORDER BY ((doc_id % {STRAT_MOD}) * {STRAT_MULT}) % {STRAT_MOD}, doc_id
-         ) AS rn
+  SELECT doc_id, lang, n_chars, {_RK} AS rk,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_RK}, doc_id) AS rn
   FROM documents
 )
 SELECT doc_id, lang, n_chars, rk FROM r WHERE rn <= {STRAT_K}

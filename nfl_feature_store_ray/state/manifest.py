@@ -78,7 +78,15 @@ def partitioned_commit(
     streaming over the same data in ONE execution while the partition
     files are committed as a durable, resumable side effect (the emitted
     rows flow only after the partition's os.replace, so later stages may
-    read the committed files)."""
+    read the committed files).
+
+    STALE PARTITIONS: this lazy stage cannot prune files of buckets that
+    vacated the input (it never learns the full bucket set) — use the
+    eager ``write_partitioned`` (which prunes) for layouts consumed by
+    glob-based readers. Consumers of a lazy-commit layout must filter by
+    CURRENT keys (as the MinHash verification does: it reads only its
+    candidates' doc_ids, which by construction never live in a vacated
+    bucket), or read via the manifests."""
     os.makedirs(out_dir, exist_ok=True)
 
     def commit(group: pd.DataFrame) -> pd.DataFrame:

@@ -223,3 +223,48 @@ def test_ewma_oracle_no_overflow_on_long_conversation(tmp_path):
                 eng[c].to_numpy(dtype="float64"), o,
                 rtol=1e-6, atol=1e-9, equal_nan=True, err_msg=c,
             )
+
+
+def test_pack_scan_empty_input_keeps_schema():
+    """pack_scan over a dataset whose every row is filtered out must return
+    the schema-complete empty result, not KeyError on the vanished columns
+    (reachable via q_curate_corpus when nothing survives curation)."""
+    import ray.data as rdata
+
+    from nfl_feature_store_ray.pipelines.packing import pack_scan
+
+    toks = rdata.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "n_tokens": [5, 6]})
+    ).filter(lambda r: False)
+    out = pack_scan(toks)
+    out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_tokens", "pack_id", "pack_offset"]
+
+
+def test_sample_stratified_negative_ids_match_oracle(tmp_path):
+    """Negative doc_ids: numpy % is non-negative while SQL % keeps the
+    dividend's sign — the oracle normalizes so both select identical
+    samples on ANY id domain."""
+    import duckdb
+
+    from nfl_feature_store_ray.pipelines.text_analysis import (
+        SQL_SAMPLE_STRATIFIED,
+        q_sample_stratified,
+    )
+
+    d = tmp_path / "neg"
+    d.mkdir()
+    ids = list(range(-50, 50))
+    pd.DataFrame(
+        {"doc_id": ids, "text": "t", "lang": ["en", "de"] * 50,
+         "n_chars": np.int64(1)}
+    ).to_parquet(d / "documents.parquet", index=False)
+    eng = q_sample_stratified(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.execute(SQL_SAMPLE_STRATIFIED).df()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "lang", "rk"]].to_numpy()))
+    assert key(eng) == key(ora)

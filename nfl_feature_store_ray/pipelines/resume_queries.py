@@ -124,12 +124,66 @@ SELECT conv_id, turn_idx,
 FROM t
 """
 
+def q_incremental_append(sf_dir: str):
+    """INCREMENTAL UPSERT gate: ingest a time-prefix of the transcripts,
+    run the incremental engine (persisted per-conversation streaming
+    state, `state.incremental`), then ingest the FULL data and run it
+    again — the second pass must process ONLY the appended turns, seeded
+    by the checkpointed state. The union of the two phases' outputs is
+    gated against the SAME SQL oracle text as ``w_rolling`` /
+    ``w_rolling_streaming``, so the driver pins
+
+        incremental(prefix) ∪ incremental(appended) == batch == DuckDB
+
+    — the reference's daily whole-season recompute
+    (`feature_store_runner.py:39-55`) replaced by a true append-only
+    update. Phase outputs are materialized before the re-ingest rewrites
+    partitions; in production each phase's features land in parquet."""
+    from nfl_feature_store_ray.state.incremental import window_features_incremental
+
+    part_dir = _gate_dir("nfl_fs_incr_gate_parts", sf_dir)
+    state_dir = _gate_dir("nfl_fs_incr_gate_state", sf_dir)
+    shutil.rmtree(part_dir, ignore_errors=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    ts_all = transcripts_from_events(sf_dir)
+    # deterministic append cutoff: midpoint of the event time range — a
+    # time cut is append-consistent (rows <= cutoff are a per-conversation
+    # prefix under (ts, _seq) order); the oracle is cutoff-independent
+    lo = ts_all.min("ts")
+    hi = ts_all.max("ts")
+    cutoff = lo + (hi - lo) / 2
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["conv_id", "turn_idx", "form_value", "roll10_tool_rate"]].copy()
+        for c in ("form_value", "roll10_tool_rate"):
+            out[c] = round_half_away(out[c].astype("float64"), 6)
+        return out
+
+    def run_phase(ds):
+        ingest_partitioned_with_transform(
+            ds, part_dir, transform=sort_partition, num_buckets=RESUME_BUCKETS,
+        )
+        out = window_features_incremental(part_dir, state_dir, metrics=("value",))
+        return out.map_batches(select, batch_format="pandas").materialize()
+
+    phase1 = run_phase(
+        transcripts_from_events(sf_dir).map_batches(
+            lambda df: df[df["ts"] <= cutoff], batch_format="pandas"
+        )
+    )
+    phase2 = run_phase(transcripts_from_events(sf_dir))
+    return phase1.union(phase2)
+
+
 QUERIES = {
     "resume_manifest": q_resume_manifest,
     "w_rolling_streaming": q_rolling_streaming,
+    "w_incremental_append": q_incremental_append,
 }
 
 ORACLES = {
     "resume_manifest": SQL_RESUME_MANIFEST,
     "w_rolling_streaming": SQL_ROLLING_STREAMING,
+    "w_incremental_append": SQL_ROLLING_STREAMING,
 }

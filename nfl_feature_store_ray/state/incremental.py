@@ -53,6 +53,31 @@ def window_features_incremental(
     if not paths:
         raise FileNotFoundError(f"no part-*.parquet under {part_dir}")
 
+    # CONTRACT GUARDS. (1) State is keyed by partition file: if the layout's
+    # bucket count changed between runs, conversations migrate buckets and
+    # their state would be missed (silently re-emitting old turns) — pin
+    # the partition count in a meta file and loud-fail on mismatch.
+    # (2) Input must be APPEND-ONLY per conversation: removed/edited rows
+    # are not detected (the ts watermark catches reordering, not removal).
+    import json
+
+    meta_path = os.path.join(state_dir, "_incremental_meta.json")
+    meta = {"n_partitions": len(paths), "metrics": list(metrics),
+            "phases": list(phases)}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev_meta = json.load(f)
+        if prev_meta != meta:
+            raise ValueError(
+                f"incremental state at {state_dir} was checkpointed with "
+                f"{prev_meta}, current run has {meta} — partition count and "
+                "feature config must stay fixed across incremental runs "
+                "(rebuild the state dir to change them)"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
     def process(df: pd.DataFrame) -> pd.DataFrame:
         # one block per partition file (include_paths read below)
         part = os.path.basename(df["path"].iloc[0])

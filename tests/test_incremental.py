@@ -79,3 +79,23 @@ def test_incremental_append_matches_batch_engine():
             rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=c,
         )
     assert (got["session_id"].to_numpy() == ref["session_id"].to_numpy()).all()
+
+
+def test_incremental_rejects_changed_partition_count():
+    """State is keyed by partition file — a changed bucket count would
+    silently re-emit old turns, so the meta guard must loud-fail."""
+    import pytest
+
+    tbl = generate_transcripts(n_convs=10, mean_turns=8, seed=3).to_pandas()
+    shutil.rmtree(PART, ignore_errors=True)
+    shutil.rmtree(STATE, ignore_errors=True)
+    _ingest(tbl)
+    window_features_incremental(PART, STATE, metrics=METRICS).count()
+
+    ingest_partitioned_with_transform(
+        rd.from_arrow(pa.Table.from_pandas(tbl, preserve_index=False)), PART,
+        transform=sort_partition, num_buckets=3,  # changed bucket count
+        fingerprint_cols=["conv_id", "turn_idx"],
+    )
+    with pytest.raises(ValueError, match="partition count"):
+        window_features_incremental(PART, STATE, metrics=METRICS).count()

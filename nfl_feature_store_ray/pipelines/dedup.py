@@ -137,7 +137,9 @@ def ngram_jaccard_pairs(sf_dir: str, max_df: int | None = DEFAULT_MAX_DF):
     variant: posting lists longer than ``max_df`` are dropped WITH a log
     line. Pass ``max_df=None`` for the exact variant (oracle-gated query;
     unbounded fan-out hazard at scale)."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], override_num_blocks=DOC_BLOCKS
+    )
     exploded = docs.map_batches(_explode_shingles, batch_format="pandas")
     # shuffle on shingle hash; build pairs per posting list
     pair_partials = map_conv_buckets(
@@ -610,6 +612,9 @@ ORACLES["dedup_embedding"] = SQL_DEDUP_EMBEDDING
 # near-duplicate CLUSTERS: connected components over the pair graph
 # ---------------------------------------------------------------------------
 CC_MAX_ROUNDS = 16
+# below this edge count the driver union-find fast-path runs; above it the
+# distributed BSP rounds do (module-level so tests can force either path)
+CC_DRIVER_MAX_EDGES = 2_000_000
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -641,6 +646,41 @@ def q_dedup_clusters(sf_dir: str):
     )
     if edges.count() == 0:
         return empty
+
+    # BOUNDED DRIVER FAST-PATH: below CC_DRIVER_MAX_EDGES the per-round
+    # fixed costs of the distributed BSP rounds (~2 shuffles + a driver
+    # action each) dwarf the actual work; a numpy union-find on the driver
+    # is exact and instant. Above it — the 100-TB regime where the pair
+    # graph itself is big — the distributed rounds below take over.
+    n_edges = edges.count()
+    if n_edges <= CC_DRIVER_MAX_EDGES:
+        e = edges.to_pandas()
+        src = e["src"].to_numpy(dtype=np.int64)
+        dst = e["dst"].to_numpy(dtype=np.int64)
+        nodes_arr, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        parent = np.arange(len(nodes_arr), dtype=np.int64)
+
+        def find(i):
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        half = len(src)
+        for a, b in zip(inv[:half], inv[half:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min label so the root IS the min doc index
+                lo, hi_ = (ra, rb) if nodes_arr[ra] <= nodes_arr[rb] else (rb, ra)
+                parent[hi_] = lo
+        roots = np.array([find(i) for i in range(len(nodes_arr))], dtype=np.int64)
+        cluster = nodes_arr[roots]
+        return pd.DataFrame(
+            {"doc_id": nodes_arr, "cluster_id": cluster,
+             "is_canonical": nodes_arr == cluster}
+        )
 
     nodes = edges.map_batches(
         lambda df: pd.DataFrame({"node": df["src"].astype(I64)}),

@@ -297,7 +297,40 @@ def test_dedup_clusters_transitive_chain(tmp_path):
     assert (0, 1) in pairs and (1, 2) in pairs
     assert (0, 2) not in pairs, "A~C must be sub-threshold for the chain test"
 
-    cl = q_dedup_clusters(str(d)).to_pandas().sort_values("doc_id")
+    cl = q_dedup_clusters(str(d))
+    cl = (cl.to_pandas() if not isinstance(cl, pd.DataFrame) else cl).sort_values("doc_id")
     assert list(cl["doc_id"]) == [0, 1, 2]
     assert list(cl["cluster_id"]) == [0, 0, 0], "chain must merge transitively"
     assert list(cl["is_canonical"]) == [True, False, False]
+
+
+def test_dedup_clusters_distributed_path_matches_fast_path(tmp_path, monkeypatch):
+    """Forcing the distributed BSP label-propagation path (threshold 0)
+    must produce the identical clustering as the driver union-find."""
+    import os
+
+    from nfl_feature_store_ray.pipelines import dedup as dd
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(300)]
+    base = [vocab[int(i)] for i in rng.integers(0, len(vocab), 60)]
+    docs = {0: base}
+    for i in range(1, 4):  # chain 0-1-2-3
+        t = list(docs[i - 1]); t[i * 7] = f"x{i}"; t[i * 9] = f"y{i}"
+        docs[i] = t
+    for i in range(4, 25):
+        docs[i] = [vocab[int(j)] for j in rng.integers(0, len(vocab), 60)]
+    d = tmp_path / "cc"
+    d.mkdir()
+    pd.DataFrame([(k, " ".join(v)) for k, v in docs.items()],
+                 columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet"), index=False)
+
+    fast = dd.q_dedup_clusters(str(d))
+    fast = fast.to_pandas() if not isinstance(fast, pd.DataFrame) else fast
+    monkeypatch.setattr(dd, "CC_DRIVER_MAX_EDGES", 0)
+    dist = dd.q_dedup_clusters(str(d))
+    dist = dist.to_pandas() if not isinstance(dist, pd.DataFrame) else dist
+    key = lambda df: sorted(map(tuple, df[["doc_id", "cluster_id", "is_canonical"]].to_numpy()))
+    assert key(fast) == key(dist)
+    assert {tuple(r) for r in fast[["doc_id", "cluster_id"]].to_numpy()} >= {(0, 0), (1, 0), (2, 0), (3, 0)}

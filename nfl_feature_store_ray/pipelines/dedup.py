@@ -47,7 +47,9 @@ MAX_BUCKET = 200  # LSH bucket cap (stop-shingle analogue)
 # exact dedup
 # ---------------------------------------------------------------------------
 def q_dedup_exact(sf_dir: str):
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], override_num_blocks=DOC_BLOCKS
+    )
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         df["_h"] = tf.hash61_array(df["text"].to_numpy())
@@ -406,7 +408,9 @@ def q_dedup_minhash_lsh(sf_dir: str):
 # SimHash near-dup pairs — no SQL oracle
 # ---------------------------------------------------------------------------
 def q_dedup_simhash(sf_dir: str):
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], override_num_blocks=DOC_BLOCKS
+    )
 
     def sim(df: pd.DataFrame) -> pd.DataFrame:
         # tokens split in polars (tf.token_flat), hashed in one C pass

@@ -283,7 +283,8 @@ def q_curate_corpus(sf_dir: str):
         out["n_tokens"] = sig["n_tokens"][ok]
         return out
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=8)
     elig = docs.map_batches(eligible, batch_format="pandas")
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:

@@ -524,30 +524,29 @@ def q_dedup_embedding(sf_dir: str):
 
     cent_ref = _ray.put(coarse_centroids(sf_dir, n_centroids=EMB_CENTROIDS))
 
-    class CellAssign:
-        def __init__(self):
-            self.cent = _ray.get(cent_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            raw = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            vecs = _norm_rows(raw)
-            vids = df["vec_id"].to_numpy(dtype=np.int64)
-            cells = np.argsort(-(vecs @ self.cent.T), axis=1)[:, :EMB_REPLICAS]
-            n = len(df)
-            return pd.DataFrame(
-                {
-                    "cell": cells.ravel().astype(np.int64),
-                    "vec_id": np.repeat(vids, EMB_REPLICAS),
-                    # bytes cell: ragged ndarray columns break Ray's pandas
-                    # tensor extension through shuffles
-                    "vb": [v.tobytes() for v in vecs for _ in range(EMB_REPLICAS)],
-                }
-            )
+    # task-pool closure: centroids are a small numpy matrix — plasma
+    # zero-copies numpy on ray.get, so per-batch gets are free and we skip
+    # the ~1-2s actor-pool spin-up per query invocation
+    def cell_assign(df: pd.DataFrame) -> pd.DataFrame:
+        cent = _ray.get(cent_ref)
+        raw = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs = _norm_rows(raw)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        cells = np.argsort(-(vecs @ cent.T), axis=1)[:, :EMB_REPLICAS]
+        return pd.DataFrame(
+            {
+                "cell": cells.ravel().astype(np.int64),
+                "vec_id": np.repeat(vids, EMB_REPLICAS),
+                # bytes cell: ragged ndarray columns break Ray's pandas
+                # tensor extension through shuffles
+                "vb": [v.tobytes() for v in vecs for _ in range(EMB_REPLICAS)],
+            }
+        )
 
     emb = read_table(
         sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
     )
-    assigned = emb.map_batches(CellAssign, batch_format="pandas", concurrency=(1, 4))
+    assigned = emb.map_batches(cell_assign, batch_format="pandas")
 
     def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
         outs = []

@@ -51,20 +51,21 @@ def q_join_enrich(sf_dir: str):
     ]
     dim_ref = ray.put(dim)
 
-    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"], override_num_blocks=8
+    )
 
-    class Enrich:
-        def __init__(self):
-            self.dim = ray.get(dim_ref)
+    # task-pool closure: per-batch ray.get of a pandas frame is a plasma
+    # read (Arrow-backed, cheap); a fresh actor pool costs ~1-2s spin-up
+    # per query invocation for state this small
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dim_ref)
+        m = df.merge(dim, left_on="o_custkey", right_on="c_custkey", how="left")
+        return m.groupby("n_name", as_index=False).agg(
+            total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = df.merge(self.dim, left_on="o_custkey", right_on="c_custkey", how="left")
-            g = m.groupby("n_name", as_index=False).agg(
-                total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
-            )
-            return g
-
-    partials = orders.map_batches(Enrich, batch_format="pandas", concurrency=(1, 4))
+    partials = orders.map_batches(enrich, batch_format="pandas")
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("n_name", as_index=False).sum()

@@ -915,9 +915,12 @@ def q_asof_daily(sf_dir: str):
 
     ts = transcripts_from_events(sf_dir)
 
+    # pruned to 3 columns and materialized: asof_join's schema() probe
+    # would otherwise execute the lazy derivation once for the probe and
+    # once for the union (left here is ~24 B/row)
     left = ts.map_batches(
         lambda df: df[["conv_id", "_seq", "ts"]], batch_format="pandas"
-    )
+    ).materialize()
 
     def daily_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
@@ -937,12 +940,16 @@ def q_asof_daily(sf_dir: str):
             }
         )
 
+    # materialize the BOUNDED right side (one row per (conv, day)):
+    # asof_join reads each input's schema(), which on a lazy sort-bearing
+    # pipeline executes it — materializing makes that free and the union
+    # re-read zero-cost instead of a full second run of the aggregation
     right = map_conv_buckets(
         ts.map_batches(daily_partial, batch_format="pandas"),
         daily_final,
         key="conv_id",
         sort_cols=["conv_id", "day"],
-    )
+    ).materialize()
 
     joined = asof_join(left, right, key="conv_id", on="ts", allow_exact_matches=False)
     return joined.map_batches(

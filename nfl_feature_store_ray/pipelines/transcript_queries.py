@@ -1188,3 +1188,58 @@ def q_time_decay(sf_dir: str):
 
 
 QUERIES["w_time_decay"] = q_time_decay  # rows-only (no exact SQL possible)
+
+
+# ---------------------------------------------------------------------------
+# trailing-window DISTINCT count: distinct tools used in the prior 24h
+# (RANGE frame incl. ts peers) — the "distinct items in trailing window"
+# feature family (fraud/abuse-style recency features)
+# ---------------------------------------------------------------------------
+SLIDE_DISTINCT_S = 86_400
+
+
+def q_sliding_distinct(sf_dir: str):
+    """Per turn: COUNT(DISTINCT tool) over the conversation's trailing
+    24h RANGE window (inclusive of ts peers, like SQL RANGE ... CURRENT
+    ROW). Vectorized over the BOUNDED tool vocabulary: one ffill pass per
+    tool value (last-occurrence timestamp per row, peer-inclusive via a
+    per-(conv, ts) group max), then a windowed comparison — no per-row
+    or per-window loops."""
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "tool"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        t = g["ts"].astype("datetime64[us]")
+        lo = t - pd.Timedelta(seconds=SLIDE_DISTINCT_S)
+        cnt = np.zeros(len(g), dtype=np.int64)
+        for v in pd.unique(g["tool"].dropna()):
+            # peer-inclusive: a tool occurring at the SAME ts in the same
+            # conversation is inside the RANGE frame even if physically
+            # later — take the per-(conv, ts) any() before the ffill
+            peer_any = (
+                g["tool"].eq(v).groupby([g["conv_id"], t], sort=False).transform("max")
+            )
+            last = t.where(peer_any).groupby(g["conv_id"], sort=False).ffill()
+            cnt += (last.notna() & (last >= lo)).to_numpy()
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "n_distinct_tools_24h": cnt}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_SLIDING_DISTINCT = f"""{_T}
+SELECT conv_id, turn_idx,
+       COUNT(DISTINCT tool) OVER (
+         PARTITION BY conv_id ORDER BY ts
+         RANGE BETWEEN INTERVAL {SLIDE_DISTINCT_S} SECONDS PRECEDING AND CURRENT ROW
+       ) AS n_distinct_tools_24h
+FROM t
+"""
+
+QUERIES["w_sliding_distinct"] = q_sliding_distinct
+ORACLES["w_sliding_distinct"] = SQL_SLIDING_DISTINCT

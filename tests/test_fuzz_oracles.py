@@ -96,7 +96,7 @@ EVENTS_FUZZ_DIR = "/tmp/nfl_fs_fuzz_events_test"
 EVENT_QUERIES = [
     "w_lag_gap", "w_rolling", "w_session_avg", "w_rank_composite",
     "w_densify_seeded", "w_asof_checkpoint", "w_phase_windows", "wide_slice",
-    "w_sliding_window", "w_tumbling", "w_label_split", "session_stats",
+    "w_sliding_window", "w_sliding_distinct", "w_tumbling", "w_label_split", "session_stats",
     "resume_manifest", "w_rolling_streaming", "w_incremental_append",
     "parse_props", "pair_join",
     "agg_career",

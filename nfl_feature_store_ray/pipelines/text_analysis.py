@@ -283,13 +283,14 @@ ORACLES["quantile_tokens"] = SQL_QUANTILE_TOKENS
 TOP_TOKENS_K = 20
 
 
-def q_top_tokens(sf_dir: str):
-    """Exact distributed heavy hitters: corpus-wide top-K tokens.
+def top_tokens_df(sf_dir: str, k: int) -> pd.DataFrame:
+    """Exact distributed heavy hitters: corpus-wide top-``k`` tokens.
 
     Per-batch partial value_counts (each batch ships one row per DISTINCT
     token it saw, not one per occurrence), one token-keyed shuffle sums
-    them, per-bucket partial top-K, tiny driver merge. Ties pinned
-    (count DESC, token ASC) on both sides."""
+    them, per-bucket partial top-k, tiny driver merge (k rows per bucket).
+    Ties pinned (count DESC, token ASC) on both sides. Shared by
+    ``q_top_tokens`` and the ``oov_rate`` vocabulary build."""
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -299,7 +300,7 @@ def q_top_tokens(sf_dir: str):
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("tok", as_index=False)["cnt"].sum()
         s = s.sort_values(["cnt", "tok"], ascending=[False, True], kind="mergesort")
-        return s.head(TOP_TOKENS_K)
+        return s.head(k)
 
     from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
 
@@ -308,9 +309,13 @@ def q_top_tokens(sf_dir: str):
                                   num_buckets=16)
     merged = per_bucket.to_pandas()
     merged = merged.sort_values(["cnt", "tok"], ascending=[False, True], kind="mergesort")
-    out = merged.head(TOP_TOKENS_K).reset_index(drop=True)
+    out = merged.head(k).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype("int64")
     return out
+
+
+def q_top_tokens(sf_dir: str):
+    return top_tokens_df(sf_dir, TOP_TOKENS_K)
 
 
 SQL_TOP_TOKENS = f"""
@@ -478,3 +483,165 @@ SELECT doc_id, lang, n_chars, rk FROM r WHERE rn <= {STRAT_K}
 
 QUERIES["sample_stratified"] = q_sample_stratified
 ORACLES["sample_stratified"] = SQL_SAMPLE_STRATIFIED
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs the corpus top-N vocabulary — the tokenizer-coverage signal a
+# pre-training mix is filtered/monitored on (docs full of tokens the target
+# vocabulary lacks are OCR noise / wrong-language / binary junk)
+# ---------------------------------------------------------------------------
+OOV_VOCAB_K = 32
+
+_SET_CACHE: dict = {}
+
+
+def _cached_set_get(ref):
+    """Per-worker-process cache of a broadcast frozenset (same rationale as
+    packing._cached_gram_get: plasma zero-copies only numpy buffers, so a
+    bare per-batch ray.get would re-unpickle the set on every batch)."""
+    import ray as _ray
+
+    key = ref.hex()
+    v = _SET_CACHE.get(key)
+    if v is None:
+        v = _ray.get(ref)
+        _SET_CACHE.clear()
+        _SET_CACHE[key] = v
+    return v
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-document out-of-vocabulary token fraction vs the corpus top-
+    ``OOV_VOCAB_K`` tokens.
+
+    Two phases, both scale-shaped: the vocabulary is the distributed
+    heavy-hitter pass (``top_tokens_df`` — partial counts, one token
+    shuffle, tiny driver merge), broadcast ONCE via ray.put; the probe is
+    a shuffle-free map with a C-path isin against the cached set. Null
+    text ≡ '' (one empty-string token, necessarily OOV unless '' is a
+    corpus heavy hitter) — same convention as token_counts."""
+    import ray as _ray
+
+    vocab_ref = _ray.put(frozenset(top_tokens_df(sf_dir, OOV_VOCAB_K)["tok"]))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = _cached_set_get(vocab_ref)
+        df = df.reset_index(drop=True)
+        tok = df["text"].fillna("").str.lower().str.split(" ").explode()
+        n_tokens = tok.groupby(level=0).size().reindex(df.index, fill_value=0)
+        n_oov = (~tok.isin(vocab)).groupby(level=0).sum().reindex(df.index, fill_value=0)
+        rate = n_oov.to_numpy(dtype="float64") / n_tokens.to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tokens.astype("int64"),
+                "n_oov": n_oov.astype("int64"),
+                "oov_rate": round_half_away(rate, 6),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pandas")
+
+
+# vocab CTE mirrors top_tokens (NULL text contributes nothing to the vocab:
+# string_split(lower(NULL)) is NULL and unnest skips it); the probe side uses
+# the null ≡ '' convention, so both engines see identical token streams
+SQL_OOV_RATE = f"""
+WITH v AS (
+  SELECT tok
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) u
+  GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT {OOV_VOCAB_K}
+),
+d AS (
+  SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM documents
+),
+c AS (
+  SELECT d.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM d LEFT JOIN v ON d.tok = v.tok
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+       ROUND(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+FROM c
+"""
+
+QUERIES["oov_rate"] = q_oov_rate
+ORACLES["oov_rate"] = SQL_OOV_RATE
+
+
+# ---------------------------------------------------------------------------
+# per-document top terms by tf/df — the TF-IDF keyword family with an
+# ALL-INTEGER gated output: the float score (tf/df, identical correctly-
+# rounded IEEE division on both engines) only orders the rank, so the gate
+# is hash-exact with no rounding surface at all
+# ---------------------------------------------------------------------------
+TFIDF_TOP = 3
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-document top-``TFIDF_TOP`` terms ranked by tf/df (score DESC,
+    token ASC on exact-rational ties like 2/4 vs 1/2).
+
+    Scale shape: tf partials are computed per batch (a document's text
+    lives in one row, so (doc, term, tf) is complete without any shuffle);
+    ONE token-keyed shuffle attaches df (rows per token == distinct docs,
+    since tf rows are already per-doc-distinct); ONE doc-keyed shuffle
+    finishes the per-doc top-k. Both exchanges ship fixed-width (id, token,
+    two ints) rows — never the document text."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        tok = df["text"].fillna("").str.lower().str.split(" ").explode()
+        pairs = pd.DataFrame(
+            {"doc_id": df["doc_id"].reindex(tok.index).to_numpy(),
+             "tok": tok.to_numpy()}
+        )
+        out = pairs.groupby(["doc_id", "tok"], as_index=False).size()
+        return out.rename(columns={"size": "tf"})
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("tok")["tf"].transform("size").astype("int64")
+        return g
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        score = g["tf"].to_numpy(dtype="float64") / g["df"].to_numpy(dtype="float64")
+        g = g.assign(_score=score).sort_values(
+            ["doc_id", "_score", "tok"], ascending=[True, False, True], kind="mergesort"
+        )
+        g["rk"] = (g.groupby("doc_id").cumcount() + 1).astype("int64")
+        out = g[g["rk"] <= TFIDF_TOP]
+        return out[["doc_id", "rk", "tok", "tf", "df"]].reset_index(drop=True)
+
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    parts = docs.map_batches(tf_partial, batch_format="pandas")
+    with_df = map_conv_buckets(parts, attach_df, key="tok", sort_cols=["tok"],
+                               num_buckets=16)
+    return map_conv_buckets(with_df, doc_topk, key="doc_id", sort_cols=["doc_id"],
+                            num_buckets=16)
+
+
+SQL_TFIDF_TERMS = f"""
+WITH e AS (
+  SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM documents
+),
+tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM e GROUP BY doc_id, tok),
+dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY tok),
+r AS (
+  SELECT tfc.doc_id, tfc.tok, tfc.tf, dfc.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tfc.doc_id ORDER BY tfc.tf * 1.0 / dfc.df DESC, tfc.tok
+         ) AS rk
+  FROM tfc JOIN dfc USING (tok)
+)
+SELECT doc_id, rk, tok, tf, df FROM r WHERE rk <= {TFIDF_TOP}
+"""
+
+QUERIES["tfidf_terms"] = q_tfidf_terms
+ORACLES["tfidf_terms"] = SQL_TFIDF_TERMS

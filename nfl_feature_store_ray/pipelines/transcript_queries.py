@@ -1243,3 +1243,82 @@ FROM t
 
 QUERIES["w_sliding_distinct"] = q_sliding_distinct
 ORACLES["w_sliding_distinct"] = SQL_SLIDING_DISTINCT
+
+
+# ---------------------------------------------------------------------------
+# consecutive-turn overlap: distinct-token Jaccard vs the previous turn +
+# exact-repeat flag — the agent-loop / degenerate-repetition detector (an
+# assistant stuck re-emitting the same reply shows jac_prev ~= 1 runs)
+# ---------------------------------------------------------------------------
+def q_turn_overlap(sf_dir: str):
+    """Per turn: Jaccard similarity of the DISTINCT lowercased token set vs
+    the previous turn of the same conversation (NULL on first turns), plus
+    an exact-text repeat flag.
+
+    Vectorized set intersection with NO per-row loops: one explode of the
+    token lists -> drop_duplicates gives the per-row distinct sets as a
+    (row, token) long table; the lag-1 intersection is ONE self-merge of
+    that table against itself shifted by a row (rows are consecutive
+    within the sorted bucket), then two bincounts. Null text ≡ '' (one
+    empty-string token), matching the oracle's coalesce."""
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "text"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        if n == 0:  # typed empty frame (np.concatenate below assumes n >= 1)
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype=object),
+                 "turn_idx": pd.Series([], dtype="int32"),
+                 "jac_prev": pd.Series([], dtype="float64"),
+                 "is_repeat": pd.Series([], dtype="float64")}
+            )
+        low = g["text"].fillna("").str.lower()
+        tok = low.str.split(" ").explode()
+        e = pd.DataFrame(
+            {"r": tok.index.to_numpy(np.int64), "tok": tok.to_numpy()}
+        ).drop_duplicates()
+        sizes = np.bincount(e["r"], minlength=n).astype(np.int64)
+        nxt = e.assign(r=e["r"] + 1)  # align row i's tokens with row i+1
+        hits = e.merge(nxt, on=["r", "tok"])
+        inter = np.bincount(hits["r"], minlength=n)[:n].astype(np.int64)
+        prev_sizes = np.concatenate([[0], sizes[:-1]])
+        union = sizes + prev_sizes - inter  # >= sizes >= 1 ('' splits to [''])
+        jac = inter / union
+        same = g["conv_id"].eq(g["conv_id"].shift(1)).to_numpy()
+        jac = np.where(same, jac, np.nan)
+        rep = np.where(same, (low == low.shift(1)).to_numpy(dtype="float64"), np.nan)
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "jac_prev": round_half_away(jac, 6), "is_repeat": rep}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_TURN_OVERLAP = f"""{_T},
+w AS (
+  SELECT conv_id, turn_idx, ts, _seq,
+         lower(coalesce(text, '')) AS lt,
+         list_distinct(string_split(lower(coalesce(text, '')), ' ')) AS tk
+  FROM t
+),
+l AS (
+  SELECT conv_id, turn_idx, lt, tk,
+         LAG(lt) OVER ({_W}) AS plt,
+         LAG(tk) OVER ({_W}) AS ptk
+  FROM w
+)
+SELECT conv_id, turn_idx,
+       ROUND(len(list_intersect(tk, ptk)) * 1.0
+             / (len(tk) + len(ptk) - len(list_intersect(tk, ptk))), 6) AS jac_prev,
+       CASE WHEN plt IS NULL THEN NULL
+            WHEN lt = plt THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS is_repeat
+FROM l
+"""
+
+QUERIES["w_turn_overlap"] = q_turn_overlap
+ORACLES["w_turn_overlap"] = SQL_TURN_OVERLAP

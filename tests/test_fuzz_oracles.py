@@ -22,7 +22,7 @@ DOC_QUERIES = [
     "text_stats", "lang_id", "token_counts", "quantile_tokens", "top_tokens",
     "quality_flags", "sample_docs", "sample_stratified", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences",
-    "decontaminate", "curate_corpus", "media_stats",
+    "decontaminate", "curate_corpus", "media_stats", "oov_rate", "tfidf_terms",
 ]
 
 
@@ -99,7 +99,7 @@ EVENT_QUERIES = [
     "w_sliding_window", "w_sliding_distinct", "w_tumbling", "w_label_split", "session_stats",
     "resume_manifest", "w_rolling_streaming", "w_incremental_append",
     "parse_props", "pair_join",
-    "agg_career",
+    "agg_career", "w_turn_overlap",
 ]
 
 

@@ -1322,3 +1322,117 @@ FROM l
 
 QUERIES["w_turn_overlap"] = q_turn_overlap
 ORACLES["w_turn_overlap"] = SQL_TURN_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# per-turn novelty: tokens first seen at this turn + cumulative conversation
+# vocabulary size — the "is the agent still saying new things" signal
+# (complements w_turn_overlap's lag-1 repetition view with a whole-history
+# one). ALL-INTEGER output: hash-exact with no rounding surface.
+# ---------------------------------------------------------------------------
+def q_novelty(sf_dir: str):
+    """Per turn: ``n_new_tokens`` = distinct tokens whose FIRST occurrence
+    in the conversation is this turn; ``cum_vocab`` = distinct tokens seen
+    up to and including this turn (prefix vocabulary size).
+
+    Vectorized: one explode -> (row, token) drop_duplicates -> a second
+    drop_duplicates on (conv, token) keeps each token's first-occurrence
+    row (rows arrive conversation-sorted, so 'first' is temporal), then a
+    bincount + per-conv cumsum. No per-row loops."""
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "text"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        codes = pd.factorize(g["conv_id"])[0].astype(np.int64)
+        tok = g["text"].fillna("").str.lower().str.split(" ").explode()
+        e = pd.DataFrame(
+            {"r": tok.index.to_numpy(np.int64), "tok": tok.to_numpy()}
+        ).drop_duplicates()
+        e["c"] = codes[e["r"]]
+        first = e.drop_duplicates(subset=["c", "tok"], keep="first")
+        n_new = np.bincount(first["r"], minlength=n).astype(np.int64)
+        cum = pd.Series(n_new).groupby(codes, sort=False).cumsum().to_numpy()
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "n_new_tokens": n_new, "cum_vocab": cum.astype(np.int64)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_NOVELTY = f"""{_T},
+x AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_distinct(string_split(lower(coalesce(text, '')), ' '))) AS tok
+  FROM t
+),
+f AS (SELECT conv_id, tok, MIN(turn_idx) AS ft FROM x GROUP BY conv_id, tok),
+nn AS (SELECT conv_id, ft AS turn_idx, COUNT(*) AS n_new FROM f GROUP BY conv_id, ft)
+SELECT t.conv_id, t.turn_idx,
+       CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new_tokens,
+       CAST(SUM(coalesce(nn.n_new, 0))
+            OVER (PARTITION BY t.conv_id ORDER BY t.turn_idx) AS BIGINT) AS cum_vocab
+FROM t LEFT JOIN nn ON t.conv_id = nn.conv_id AND t.turn_idx = nn.turn_idx
+"""
+
+QUERIES["w_novelty"] = q_novelty
+ORACLES["w_novelty"] = SQL_NOVELTY
+
+
+# ---------------------------------------------------------------------------
+# trailing rolling MEDIAN (discrete) — the order-statistics window family
+# (robust-to-outliers counterpart of w_rolling's trailing mean). Selection
+# matches DuckDB quantile_disc: 1-based rank = ceil(0.5 * n), i.e. the
+# LOWER median — a pure order statistic, so the gate is hash-exact with no
+# float arithmetic at all (no even-count averaging).
+# ---------------------------------------------------------------------------
+def q_rolling_median(sf_dir: str):
+    """Per turn: discrete median of the previous 1..3 values of the same
+    conversation (ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), NULL when no
+    prior rows. Vectorized: three shifted copies stacked, one column-wise
+    np.sort (NaN sorts last), one gather at index (n_valid - 1) // 2."""
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "value"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        v = g["value"].to_numpy(dtype="float64")
+        codes = pd.factorize(g["conv_id"])[0].astype(np.int64)
+
+        def shifted(k: int) -> np.ndarray:
+            s = np.full(n, np.nan)
+            if n > k:
+                s[k:] = v[:-k]
+                s[k:][codes[k:] != codes[:-k]] = np.nan  # conv boundary
+            return s
+
+        m = np.stack([shifted(1), shifted(2), shifted(3)])
+        cnt = (~np.isnan(m)).sum(axis=0)
+        srt = np.sort(m, axis=0)  # NaN sorts last per column
+        idx = np.maximum((cnt - 1) // 2, 0)
+        med = srt[idx, np.arange(n)]
+        med[cnt == 0] = np.nan
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "med_value": round_half_away(med, 6)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_ROLLING_MEDIAN = f"""{_T}
+SELECT conv_id, turn_idx,
+       ROUND(quantile_disc(value, 0.5)
+             OVER ({_W} ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS med_value
+FROM t
+"""
+
+QUERIES["w_rolling_median"] = q_rolling_median
+ORACLES["w_rolling_median"] = SQL_ROLLING_MEDIAN

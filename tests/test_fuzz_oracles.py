@@ -99,7 +99,7 @@ EVENT_QUERIES = [
     "w_sliding_window", "w_sliding_distinct", "w_tumbling", "w_label_split", "session_stats",
     "resume_manifest", "w_rolling_streaming", "w_incremental_append",
     "parse_props", "pair_join",
-    "agg_career", "w_turn_overlap",
+    "agg_career", "w_turn_overlap", "w_novelty", "w_rolling_median",
 ]
 
 

@@ -1436,3 +1436,133 @@ FROM t
 
 QUERIES["w_rolling_median"] = q_rolling_median
 ORACLES["w_rolling_median"] = SQL_ROLLING_MEDIAN
+
+
+# ---------------------------------------------------------------------------
+# exact distributed variance / std per conversation — the "parallel
+# variance" aggregate done the hash-exact way: integer-cent partials
+# (n, Σc, Σc²) are order-independent, the (n·Σc² − (Σc)²) numerator is
+# EXACT integer arithmetic on both engines, and the only float ops are one
+# division and one sqrt — both IEEE correctly-rounded, hence identical.
+# ---------------------------------------------------------------------------
+def q_agg_variance(sf_dir: str):
+    """Per conversation: n_turns, sample variance and std of ``value``.
+
+    Partial (n, Σc, Σc²) per batch -> ONE conv-keyed shuffle -> exact
+    integer merge. Never ships raw rows through the exchange; at 10^12
+    turns the shuffle carries 3 ints per (batch, conv)."""
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        d = pd.DataFrame(
+            {"conv_id": df["conv_id"], "c": vc, "c2": vc * vc, "n": np.int64(1)}
+        )
+        return d.groupby("conv_id", as_index=False).sum()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("conv_id", as_index=False)[["c", "c2", "n"]].sum()
+        n = g["n"].to_numpy(np.int64)
+        num = n * g["c2"].to_numpy(np.int64) - g["c"].to_numpy(np.int64) ** 2
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = num.astype(np.float64) / (10000.0 * nf * (nf - 1.0))
+            var = np.where(n > 1, var, np.nan)
+            std = np.sqrt(var)
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "n_turns": n,
+             "var_value": round_half_away(var, 6),
+             "std_value": round_half_away(std, 6)}
+        )
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(partials, final, key="conv_id", sort_cols=["conv_id"])
+
+
+# the SQL mirrors the engine's float-op ORDER exactly (one division, one
+# sqrt) so correctly-rounded IEEE semantics make both sides bit-identical
+SQL_AGG_VARIANCE = f"""{_T},
+c AS (SELECT conv_id, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM t),
+a AS (
+  SELECT conv_id, COUNT(*) AS n_turns, SUM(vc) AS s, SUM(vc * vc) AS s2
+  FROM c GROUP BY conv_id
+)
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       ROUND(CASE WHEN n_turns > 1 THEN
+         (n_turns * s2 - s * s) / (10000.0 * n_turns * (n_turns - 1))
+       END, 6) AS var_value,
+       ROUND(CASE WHEN n_turns > 1 THEN
+         sqrt((n_turns * s2 - s * s) / (10000.0 * n_turns * (n_turns - 1)))
+       END, 6) AS std_value
+FROM a
+"""
+
+QUERIES["agg_variance"] = q_agg_variance
+ORACLES["agg_variance"] = SQL_AGG_VARIANCE
+
+
+# ---------------------------------------------------------------------------
+# per-day cross-conversation z-score of the daily value total — group-wise
+# feature normalization (the standard "scale within cohort" training prep),
+# built on the same exact-integer moments as agg_variance
+# ---------------------------------------------------------------------------
+def q_zscore_day(sf_dir: str):
+    """Per (day, conv): the conversation's daily value total z-scored
+    against all conversations active that day. NULL when the day has one
+    conversation or zero variance. Partial (day, conv) cent-sums per
+    batch, ONE day-keyed shuffle co-locates whole days; moments and the
+    z division are computed in the bucket with the same float-op order as
+    the SQL (each step correctly rounded -> hash-exact)."""
+    ts = transcripts_from_events(sf_dir)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
+             "conv_id": df["conv_id"],
+             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+        )
+        return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+
+    def zscore(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+        xc = d["xc"].to_numpy(np.int64)
+        d = d.assign(_xc2=xc * xc)
+        grp = d.groupby("day", sort=False)
+        n = grp["xc"].transform("size").to_numpy(np.int64)
+        sx = grp["xc"].transform("sum").to_numpy(np.int64)
+        sx2 = grp["_xc2"].transform("sum").to_numpy(np.int64)
+        num = n * sx2 - sx * sx
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = sx / nf
+            std = np.sqrt(num.astype(np.float64) / (nf * (nf - 1.0)))
+            z = (xc - mean) / std
+        z = np.where((n > 1) & (num > 0), z, np.nan)
+        return pd.DataFrame(
+            {"day": d["day"].astype("datetime64[us]"), "conv_id": d["conv_id"],
+             "day_value": round_half_away(xc / 100.0, 6),
+             "z_day": round_half_away(z, 6)}
+        )
+
+    partials = ts.map_batches(day_partial, batch_format="pandas")
+    return map_conv_buckets(partials, zscore, key="day",
+                            sort_cols=["day", "conv_id"], num_buckets=32)
+
+
+SQL_ZSCORE_DAY = f"""{_T},
+d AS (
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS xc
+  FROM t GROUP BY 1, 2
+),
+s AS (SELECT day, COUNT(*) AS n, SUM(xc) AS sx, SUM(xc * xc) AS sx2 FROM d GROUP BY day)
+SELECT d.day, d.conv_id, ROUND(d.xc / 100.0, 6) AS day_value,
+       ROUND(CASE WHEN s.n > 1 AND (s.n * s.sx2 - s.sx * s.sx) > 0 THEN
+         (d.xc - s.sx / CAST(s.n AS DOUBLE))
+         / sqrt((s.n * s.sx2 - s.sx * s.sx) / (CAST(s.n AS DOUBLE) * (s.n - 1)))
+       END, 6) AS z_day
+FROM d JOIN s USING (day)
+"""
+
+QUERIES["w_zscore_day"] = q_zscore_day
+ORACLES["w_zscore_day"] = SQL_ZSCORE_DAY

@@ -100,6 +100,7 @@ EVENT_QUERIES = [
     "resume_manifest", "w_rolling_streaming", "w_incremental_append",
     "parse_props", "pair_join",
     "agg_career", "w_turn_overlap", "w_novelty", "w_rolling_median",
+    "agg_variance", "w_zscore_day",
 ]
 
 

@@ -645,3 +645,42 @@ SELECT doc_id, rk, tok, tf, df FROM r WHERE rk <= {TFIDF_TOP}
 
 QUERIES["tfidf_terms"] = q_tfidf_terms
 ORACLES["tfidf_terms"] = SQL_TFIDF_TERMS
+
+
+# ---------------------------------------------------------------------------
+# fixed-width histogram of the per-document token count — the corpus-shape
+# profile (length distribution) computed the bounded-partial way, same
+# shape as quantile_tokens: O(domain/width) ints per batch, no shuffle
+# ---------------------------------------------------------------------------
+HIST_BIN_W = 10
+
+
+def q_hist_tokens(sf_dir: str):
+    """Token-count histogram with bin width ``HIST_BIN_W`` (bin = count //
+    width). Each batch emits one tiny bincount partial over the bounded
+    bin domain; the driver merge is O(bins). Same token convention as
+    quantile_tokens (null/empty text -> 0 tokens)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        nt = np.where(
+            t.str.len().to_numpy() > 0, t.str.count(" ").to_numpy() + 1, 0
+        ).astype(np.int64)
+        bc = np.bincount(nt // HIST_BIN_W)
+        nz = np.flatnonzero(bc)
+        return pd.DataFrame({"bin": nz.astype(np.int64), "cnt": bc[nz].astype(np.int64)})
+
+    parts = docs.map_batches(hist, batch_format="pandas").to_pandas()
+    out = parts.groupby("bin", as_index=False)["cnt"].sum()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+SQL_HIST_TOKENS = _WS_TOKENS + f"""
+SELECT CAST(n_tokens // {HIST_BIN_W} AS BIGINT) AS bin, COUNT(*) AS cnt
+FROM ws GROUP BY 1
+"""
+
+QUERIES["hist_tokens"] = q_hist_tokens
+ORACLES["hist_tokens"] = SQL_HIST_TOKENS

@@ -1566,3 +1566,42 @@ FROM d JOIN s USING (day)
 
 QUERIES["w_zscore_day"] = q_zscore_day
 ORACLES["w_zscore_day"] = SQL_ZSCORE_DAY
+
+
+# ---------------------------------------------------------------------------
+# conversation role-transition matrix — corpus-wide counts of (prev_role,
+# role) bigrams (never across conversation boundaries): the Markov-chain
+# summary of dialogue structure (how often does user->tool happen, etc.)
+# ---------------------------------------------------------------------------
+def q_role_transitions(sf_dir: str):
+    """Global (prev_role -> role) transition counts. Lag computed inside
+    the conversation buckets (vectorized shift + boundary mask), each
+    bucket emits at most |roles|² partial rows, tiny driver merge —
+    the full corpus never leaves the buckets."""
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "role"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        prev = g["role"].shift(1).where(g["conv_id"].eq(g["conv_id"].shift(1)))
+        d = pd.DataFrame({"prev_role": prev, "role": g["role"]}).dropna(subset=["prev_role"])
+        return d.groupby(["prev_role", "role"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = map_conv_buckets(pruned, kern, key="conv_id",
+                             sort_cols=["conv_id", "ts", "_seq"]).to_pandas()
+    out = parts.groupby(["prev_role", "role"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_ROLE_TRANSITIONS = f"""{_T},
+l AS (SELECT role, LAG(role) OVER ({_W}) AS prev_role FROM t)
+SELECT prev_role, role, COUNT(*) AS n
+FROM l WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+QUERIES["role_transitions"] = q_role_transitions
+ORACLES["role_transitions"] = SQL_ROLE_TRANSITIONS

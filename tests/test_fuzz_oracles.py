@@ -23,6 +23,7 @@ DOC_QUERIES = [
     "quality_flags", "sample_docs", "sample_stratified", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences",
     "decontaminate", "curate_corpus", "media_stats", "oov_rate", "tfidf_terms",
+    "hist_tokens",
 ]
 
 
@@ -100,7 +101,7 @@ EVENT_QUERIES = [
     "resume_manifest", "w_rolling_streaming", "w_incremental_append",
     "parse_props", "pair_join",
     "agg_career", "w_turn_overlap", "w_novelty", "w_rolling_median",
-    "agg_variance", "w_zscore_day",
+    "agg_variance", "w_zscore_day", "role_transitions",
 ]
 
 

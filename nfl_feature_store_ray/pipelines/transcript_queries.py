@@ -1605,3 +1605,174 @@ GROUP BY prev_role, role
 
 QUERIES["role_transitions"] = q_role_transitions
 ORACLES["role_transitions"] = SQL_ROLE_TRANSITIONS
+
+
+# ---------------------------------------------------------------------------
+# running extremes over strictly-prior turns (cumulative max/min) — the
+# "best/worst outcome so far" point-in-time features; pure order statistics,
+# no float arithmetic, hash-exact
+# ---------------------------------------------------------------------------
+def q_cummax(sf_dir: str):
+    """Per turn: max and min of ``value`` over the conversation's STRICTLY
+    prior turns (NULL on first turns) — same leakage contract as every
+    other window feature. Vectorized: C-path groupby cummax/cummin, then a
+    groupby shift(1)."""
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "value"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("conv_id", sort=False)
+        mx = grp["value"].cummax().groupby(g["conv_id"], sort=False).shift(1)
+        mn = grp["value"].cummin().groupby(g["conv_id"], sort=False).shift(1)
+        turn_idx = grp.cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "max_prior": round_half_away(mx.to_numpy(dtype="float64"), 6),
+             "min_prior": round_half_away(mn.to_numpy(dtype="float64"), 6)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_CUMMAX = f"""{_T}
+SELECT conv_id, turn_idx,
+       ROUND(MAX(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
+         AS max_prior,
+       ROUND(MIN(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
+         AS min_prior
+FROM t
+"""
+
+QUERIES["w_cummax"] = q_cummax
+ORACLES["w_cummax"] = SQL_CUMMAX
+
+
+# ---------------------------------------------------------------------------
+# per-day percent rank (uniform [0,1] normalization of the daily ranks) —
+# PERCENT_RANK parity: (rank-1)/(n-1) under a UNIQUE pinned ordering
+# (day_value DESC, conv_id), 0.0 for single-conversation days (DuckDB
+# convention, verified) — one int division, hash-exact
+# ---------------------------------------------------------------------------
+def q_percent_rank_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
+             "conv_id": df["conv_id"],
+             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+        )
+        return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+
+    def prank(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+        d["day_value"] = round_half_away(d["xc"].to_numpy(np.int64) / 100.0, 6)
+        d = d.sort_values(["day", "day_value", "conv_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        grp = d.groupby("day", sort=False)
+        rn = grp.cumcount().to_numpy(np.int64)  # 0-based = rank - 1
+        n = grp["conv_id"].transform("size").to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(n > 1, rn / (n - 1.0), 0.0)
+        return pd.DataFrame(
+            {"day": d["day"].astype("datetime64[us]"), "conv_id": d["conv_id"],
+             "day_value": d["day_value"],
+             "pct_rank": round_half_away(pr, 6)}
+        )
+
+    partials = ts.map_batches(day_partial, batch_format="pandas")
+    return map_conv_buckets(partials, prank, key="day",
+                            sort_cols=["day", "conv_id"], num_buckets=32)
+
+
+SQL_PERCENT_RANK_DAY = f"""{_T},
+d AS (
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         ROUND(CAST(SUM(ROUND(value * 100)) AS BIGINT) / 100.0, 6) AS day_value
+  FROM t GROUP BY 1, 2
+)
+SELECT day, conv_id, day_value,
+       ROUND(PERCENT_RANK() OVER (
+         PARTITION BY day ORDER BY day_value DESC, conv_id), 6) AS pct_rank
+FROM d
+"""
+
+QUERIES["w_percent_rank_day"] = q_percent_rank_day
+ORACLES["w_percent_rank_day"] = SQL_PERCENT_RANK_DAY
+
+
+# ---------------------------------------------------------------------------
+# expanding correlation between the value metric and the turn's token count
+# over strictly-prior turns — cross-signal second-moment feature, computed
+# from EXACT integer windowed moments (n, Σx, Σy, Σxy, Σx², Σy²); the float
+# tail is num / (sqrt(denx) * sqrt(deny)) with the op order mirrored in the
+# SQL, so the gate is hash-exact like agg_variance / w_zscore_day
+# ---------------------------------------------------------------------------
+def q_expanding_corr(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "text", "value"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        x = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        low = g["text"].fillna("").str.lower()
+        y = (low.str.count(" ").to_numpy(np.int64) + 1)  # ws tokens ('' -> 1)
+        d = pd.DataFrame(
+            {"x": x, "y": y, "xy": x * y, "x2": x * x, "y2": y * y, "one": np.int64(1)}
+        )
+        grp = d.groupby(g["conv_id"].to_numpy(), sort=False)
+        cums = grp.cumsum()
+        conv = g["conv_id"]
+        prior = cums.groupby(conv.to_numpy(), sort=False).shift(1)
+        n = prior["one"].to_numpy(np.float64)
+        sx = prior["x"].to_numpy(np.float64)
+        sy = prior["y"].to_numpy(np.float64)
+        sxy = prior["xy"].to_numpy(np.float64)
+        sx2 = prior["x2"].to_numpy(np.float64)
+        sy2 = prior["y2"].to_numpy(np.float64)
+        num = n * sxy - sx * sy
+        denx = n * sx2 - sx * sx
+        deny = n * sy2 - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = num / (np.sqrt(denx) * np.sqrt(deny))
+        corr = np.where((n > 1) & (denx > 0) & (deny > 0), corr, np.nan)
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": conv, "turn_idx": turn_idx,
+             "corr_val_tokens": round_half_away(corr, 6)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_EXPANDING_CORR = f"""{_T},
+b AS (
+  SELECT conv_id, turn_idx, ts, _seq,
+         CAST(ROUND(value * 100) AS BIGINT) AS x,
+         CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS BIGINT) AS y
+  FROM t
+),
+m AS (
+  SELECT conv_id, turn_idx,
+         CAST(COUNT(*) OVER pw AS DOUBLE) AS n,
+         CAST(SUM(x) OVER pw AS DOUBLE) AS sx,
+         CAST(SUM(y) OVER pw AS DOUBLE) AS sy,
+         CAST(SUM(x * y) OVER pw AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) OVER pw AS DOUBLE) AS sx2,
+         CAST(SUM(y * y) OVER pw AS DOUBLE) AS sy2
+  FROM b
+  WINDOW pw AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx,
+       ROUND(CASE WHEN n > 1 AND (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+             THEN (n * sxy - sx * sy)
+                  / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+             END, 6) AS corr_val_tokens
+FROM m
+"""
+
+QUERIES["w_expanding_corr"] = q_expanding_corr
+ORACLES["w_expanding_corr"] = SQL_EXPANDING_CORR

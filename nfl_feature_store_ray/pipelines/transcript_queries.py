@@ -1085,6 +1085,81 @@ def approx_distinct_convs(sf_dir: str) -> float:
     return float(est)
 
 
+DD_ALPHA = 0.01  # DDSketch relative-error guarantee (Masson et al. 2019, public)
+DD_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def dd_partials(v: np.ndarray, alpha: float = DD_ALPHA) -> pd.DataFrame:
+    """DDSketch bucket partial for one value array: bucket i = ceil(ln x /
+    ln gamma) for x > 0, non-positive/NaN values in a sentinel bucket.
+    Pure per-value function -> partials are deterministic and merge by
+    plain summation (order- and partitioning-independent)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    pos = v > 0  # NaN compares False -> sentinel bucket
+    idx = np.ceil(np.log(v[pos]) / np.log(gamma)).astype(np.int64)
+    u, c = np.unique(idx, return_counts=True)
+    n_nonpos = int((~pos).sum())
+    rows = {"bucket": u, "cnt": c.astype(np.int64)}
+    out = pd.DataFrame(rows)
+    if n_nonpos:
+        out = pd.concat(
+            [pd.DataFrame({"bucket": [np.int64(np.iinfo(np.int64).min)],
+                           "cnt": [np.int64(n_nonpos)]}), out],
+            ignore_index=True,
+        )
+    return out
+
+
+def dd_quantiles_from_buckets(
+    buckets: np.ndarray, counts: np.ndarray, quantiles, alpha: float = DD_ALPHA
+) -> pd.DataFrame:
+    """Quantile estimates from merged DDSketch buckets: rank = ceil(q*n)
+    (the engine's quantile_disc selection rule), estimate = the bucket
+    midpoint 2*gamma^i/(gamma+1) (relative error <= alpha for positive
+    values; the sentinel bucket estimates 0)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    order = np.argsort(buckets)
+    b, c = buckets[order], counts[order]
+    cum = c.cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    sentinel = np.iinfo(np.int64).min
+    for q in quantiles:
+        rank = max(1, int(np.ceil(q * n)))
+        pos = int(np.searchsorted(cum, rank))
+        bi = b[pos]
+        est = 0.0 if bi == sentinel else 2.0 * gamma ** bi / (gamma + 1.0)
+        rows.append({"q": q, "est": est, "n": n})
+    return pd.DataFrame(rows)
+
+
+def q_sketch_quantiles(sf_dir: str):
+    """DDSketch approximate quantiles of ``value`` — the mergeable
+    quantile sketch for UNBOUNDED domains (complements the exact
+    bounded-domain histogram of `quantile_tokens`): each batch ships
+    O(log-range / alpha) bucket-count ints, the driver merge is a tiny
+    groupby-sum, NO shuffle and NO sort at any scale. Deterministic by
+    construction (pure per-value bucketing), so the driver's rows-only
+    gate is stable; accuracy (rel. error <= alpha on positive values) and
+    exact merge-invariance vs a single-pass reference sketch are pinned
+    by tests/test_sketch.py. No SQL oracle: approximate by construction —
+    `quantile_tokens` is the exact gated variant."""
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return dd_partials(df["value"].to_numpy(np.float64))
+
+    parts = ts.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby("bucket", as_index=False)["cnt"].sum()
+    return dd_quantiles_from_buckets(
+        merged["bucket"].to_numpy(np.int64), merged["cnt"].to_numpy(np.int64),
+        DD_QUANTILES,
+    )
+
+
+QUERIES["sketch_quantiles"] = q_sketch_quantiles  # rows-only (approximate)
+
+
 # ---------------------------------------------------------------------------
 # session-level rollup: one row per (conv_id, session_id) — the session
 # feature TABLE (the reference materializes per-entity-epoch tables the

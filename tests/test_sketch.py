@@ -1,0 +1,68 @@
+"""DDSketch quantile-sketch quality gates.
+
+The sketch has no SQL oracle (approximate by construction), so these tests
+pin what the gate can't: the relative-error guarantee vs the EXACT
+quantiles, exact merge-invariance (distributed partials == one single-pass
+sketch), and determinism across runs.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from nfl_feature_store_ray.pipelines.transcript_queries import (
+    DD_ALPHA,
+    DD_QUANTILES,
+    dd_partials,
+    dd_quantiles_from_buckets,
+    q_sketch_quantiles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_disc(v: np.ndarray, q: float) -> float:
+    """Engine's quantile_disc selection rule: 1-based rank = ceil(q*n)."""
+    s = np.sort(v)
+    return float(s[max(1, int(np.ceil(q * len(s)))) - 1])
+
+
+def test_sketch_relative_error_bound():
+    est = q_sketch_quantiles(SF)
+    v = pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    for _, row in est.iterrows():
+        exact = _exact_disc(v, row["q"])
+        if exact > 0:
+            # DDSketch guarantee: |est - x| / x <= alpha (midpoint estimator);
+            # tiny slack for the discrete-rank vs bucket-boundary mismatch
+            assert abs(row["est"] - exact) / exact <= DD_ALPHA * 1.05 + 1e-12, row
+
+    assert (est["n"] == len(v)).all()
+
+
+def test_sketch_merge_invariance():
+    """Distributed batch partials merged by summation must equal ONE
+    single-pass sketch over the whole column — the mergeability property
+    that makes the sketch shuffle-free at any partitioning."""
+    dist = q_sketch_quantiles(SF)
+    v = pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy(
+        zero_copy_only=False
+    )
+    one = dd_partials(v.astype(np.float64))
+    ref = dd_quantiles_from_buckets(
+        one["bucket"].to_numpy(np.int64), one["cnt"].to_numpy(np.int64), DD_QUANTILES
+    )
+    pd.testing.assert_frame_equal(dist.reset_index(drop=True), ref)
+
+
+def test_sketch_handles_nonpositive_and_nan():
+    v = np.array([0.0, -3.5, np.nan, 1.0, 100.0])
+    p = dd_partials(v)
+    assert p["cnt"].sum() == 5
+    sentinel = np.iinfo(np.int64).min
+    assert int(p.loc[p["bucket"] == sentinel, "cnt"].iloc[0]) == 3
+    est = dd_quantiles_from_buckets(
+        p["bucket"].to_numpy(np.int64), p["cnt"].to_numpy(np.int64), (0.25, 0.9)
+    )
+    assert est.loc[est["q"] == 0.25, "est"].iloc[0] == 0.0  # sentinel region
+    assert abs(est.loc[est["q"] == 0.9, "est"].iloc[0] - 100.0) / 100.0 <= DD_ALPHA

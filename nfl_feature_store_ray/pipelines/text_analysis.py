@@ -684,3 +684,68 @@ FROM ws GROUP BY 1
 
 QUERIES["hist_tokens"] = q_hist_tokens
 ORACLES["hist_tokens"] = SQL_HIST_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter sketch — the approximate frequency counterpart
+# of the exact top_tokens pass (and the third sketch family next to HLL
+# cardinality and DDSketch quantiles): bounded summaries merge by counter
+# summation + one re-compression, so token frequency never needs a
+# corpus-wide shuffle. (Misra & Gries 1982; mergeability per Agarwal et
+# al. 2012 "Mergeable Summaries" — public.)
+# ---------------------------------------------------------------------------
+MG_K = 24  # counters per summary; undercount <= n_total / (MG_K + 1)
+
+
+def mg_compress(counts: pd.Series, k: int = MG_K) -> tuple[pd.Series, int]:
+    """Compress exact (or summed) counters to <= k survivors by
+    subtracting the (k+1)-th largest count from everyone (the keys left
+    positive are exactly those > offset, hence <= k of them — ties drop
+    to zero deterministically). Returns (survivors, offset)."""
+    if len(counts) <= k:
+        return counts, 0
+    v = counts.to_numpy(np.int64)
+    offset = int(np.partition(v, -(k + 1))[-(k + 1)])
+    out = counts[counts > offset] - offset
+    return out, offset
+
+
+def q_sketch_top_tokens(sf_dir: str):
+    """Approximate heavy hitters with MG guarantees: per batch, exact
+    value_counts compressed to MG_K counters + the scalar undercount this
+    cost (shipped as a null-token row); the driver sums counters, adds up
+    the undercounts, re-compresses once, and reports (tok, est,
+    err_bound) with TRUE count guaranteed in [est, est + err_bound].
+    Deterministic given deterministic batching; the bound itself is
+    partitioning-independent (<= total tokens / (MG_K+1)). Rows-only
+    gate — `top_tokens` is the exact gated variant; the bound and the
+    planted-heavy-hitter recall are pinned by tests/test_sketch.py."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.lower().str.split(" ").explode().dropna().value_counts()
+        kept, offset = mg_compress(vc)
+        out = pd.DataFrame({"tok": kept.index.astype(str),
+                            "cnt": kept.to_numpy(np.int64)})
+        # any key's undercount in this batch is <= offset (dropped keys had
+        # count <= offset); the offset travels with the summary (null token)
+        if offset:
+            out = pd.concat(
+                [out, pd.DataFrame({"tok": [None], "cnt": [np.int64(offset)]})],
+                ignore_index=True,
+            )
+        return out
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    err = int(parts.loc[parts["tok"].isna(), "cnt"].sum())
+    merged = parts.dropna(subset=["tok"]).groupby("tok")["cnt"].sum()
+    kept, offset = mg_compress(merged)
+    kept = kept.sort_values(ascending=False)
+    out = pd.DataFrame({"tok": kept.index.astype(str), "est": kept.to_numpy(np.int64)})
+    out = out.sort_values(["est", "tok"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    out["err_bound"] = np.int64(err + offset)
+    return out
+
+
+QUERIES["sketch_top_tokens"] = q_sketch_top_tokens  # rows-only (approximate)

@@ -1851,3 +1851,61 @@ FROM m
 
 QUERIES["w_expanding_corr"] = q_expanding_corr
 ORACLES["w_expanding_corr"] = SQL_EXPANDING_CORR
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: consecutive same-role streaks — island index and the
+# running streak length at every turn (the "how long has the assistant been
+# talking to itself" feature). ALL-INTEGER, hash-exact.
+# ---------------------------------------------------------------------------
+def q_streak(sf_dir: str):
+    """Per turn: ``island`` = 1-based index of the current same-role run
+    within the conversation, ``streak_len`` = position within that run.
+    Vectorized islands: boundary mask (role change or conversation change)
+    -> cumsum island ids -> cumcount within (conv, island)."""
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "role"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        new_conv = ~g["conv_id"].eq(g["conv_id"].shift(1))
+        brk = (new_conv | ~g["role"].eq(g["role"].shift(1))).to_numpy()
+        island_global = np.cumsum(brk)  # distinct id per run across the bucket
+        island = (
+            pd.Series(brk).groupby(g["conv_id"].to_numpy(), sort=False).cumsum()
+            .to_numpy(np.int64)
+        )
+        streak = (
+            pd.Series(np.ones(len(g), dtype=np.int64))
+            .groupby(island_global, sort=False).cumsum().to_numpy(np.int64)
+        )
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "island": island, "streak_len": streak}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_STREAK = f"""{_T},
+g AS (
+  SELECT conv_id, turn_idx, ts, _seq,
+         CASE WHEN LAG(role) OVER ({_W}) IS DISTINCT FROM role
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+i AS (
+  SELECT conv_id, turn_idx, ts, _seq,
+         CAST(SUM(brk) OVER ({_W}) AS BIGINT) AS island
+  FROM g
+)
+SELECT conv_id, turn_idx, island,
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, island ORDER BY ts, _seq)
+            AS BIGINT) AS streak_len
+FROM i
+"""
+
+QUERIES["w_streak"] = q_streak
+ORACLES["w_streak"] = SQL_STREAK

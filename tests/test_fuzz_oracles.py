@@ -102,7 +102,7 @@ EVENT_QUERIES = [
     "parse_props", "pair_join",
     "agg_career", "w_turn_overlap", "w_novelty", "w_rolling_median",
     "agg_variance", "w_zscore_day", "role_transitions",
-    "w_cummax", "w_percent_rank_day", "w_expanding_corr",
+    "w_cummax", "w_percent_rank_day", "w_expanding_corr", "w_streak",
 ]
 
 

@@ -81,16 +81,24 @@ def with_bucket(
     keys hashed into its bucket."""
     tune_context()
 
-    def add(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch[key] if isinstance(key, str) else batch[list(key)]
+    def add(batch: pa.Table) -> pa.Table:
+        # Arrow-native stage: only the KEY column(s) round-trip through
+        # pandas (the deterministic SipHash contract is pinned to
+        # hash_pandas_object with _HASH_KEY); the payload columns stay
+        # zero-copy Arrow, so the map side of the shuffle never converts
+        # the full (possibly very wide) batch and empty blocks don't hit
+        # pandas' object-dtype size estimation.
+        if isinstance(key, str):
+            k = batch.column(key).to_pandas()
+        else:
+            k = pd.DataFrame({c: batch.column(c).to_pandas() for c in key})
         b = bucket_of(k, num_buckets)
         if heavy_keys and isinstance(key, str):
-            hot = batch[key].map(heavy_keys)
+            hot = k.map(heavy_keys)
             b = b.where(hot.isna(), (hot + num_buckets)).astype("int32")
-        batch[BUCKET_COL] = b
-        return batch
+        return batch.append_column(BUCKET_COL, pa.array(b.to_numpy(), pa.int32()))
 
-    return ds.map_batches(add, batch_format="pandas")
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def map_conv_buckets(

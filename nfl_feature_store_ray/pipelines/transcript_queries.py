@@ -1909,3 +1909,164 @@ FROM i
 
 QUERIES["w_streak"] = q_streak
 ORACLES["w_streak"] = SQL_STREAK
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join: the scheduling complement of asof_daily. Each turn is
+# stamped with its conversation's value summary at the NEXT day close at or
+# after the turn (direction='forward', inclusive) — the "end-of-day outcome"
+# label-attachment pattern. Forward matches read the future by construction,
+# so this op is for label/annotation attachment, never feature backfill
+# (reference J7/W8 generalized the other way; SURVEY §2.6 W8).
+# ---------------------------------------------------------------------------
+def q_asof_forward(sf_dir: str):
+    from nfl_feature_store_ray.state.asof import asof_join
+
+    ts = transcripts_from_events(sf_dir)
+    left = ts.map_batches(
+        lambda df: df[["conv_id", "_seq", "ts"]], batch_format="pandas"
+    ).materialize()
+
+    def daily_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
+            vc=np.rint(df["value"].to_numpy() * 100.0),
+        )
+        return df.groupby(["conv_id", "day"], as_index=False).agg(day_c=("vc", "sum"))
+
+    def daily_final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["conv_id", "day"], as_index=False)["day_c"].sum()
+        return pd.DataFrame(
+            {
+                "conv_id": d["conv_id"],
+                "ts": (d["day"] + pd.Timedelta(days=1)).astype("datetime64[us]"),
+                "day_close_value": round_half_away(d["day_c"] / 100.0, 6),
+            }
+        )
+
+    right = map_conv_buckets(
+        ts.map_batches(daily_partial, batch_format="pandas"),
+        daily_final,
+        key="conv_id",
+        sort_cols=["conv_id", "day"],
+    ).materialize()
+
+    joined = asof_join(
+        left, right, key="conv_id", on="ts",
+        allow_exact_matches=True, direction="forward",
+    )
+    return joined.map_batches(
+        lambda df: df[["conv_id", "_seq", "day_close_value"]], batch_format="pandas"
+    )
+
+
+SQL_ASOF_FORWARD = f"""{_T},
+daily AS (
+  SELECT conv_id, date_trunc('day', ts) + INTERVAL 1 DAY AS sts,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_close_value
+  FROM t GROUP BY conv_id, date_trunc('day', ts)
+)
+SELECT t.conv_id, t._seq, d.day_close_value
+FROM t ASOF LEFT JOIN daily d ON t.conv_id = d.conv_id AND t.ts <= d.sts
+"""
+
+QUERIES["w_asof_forward"] = q_asof_forward
+ORACLES["w_asof_forward"] = SQL_ASOF_FORWARD
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles within each day (W9/A12 family): same one-shuffle shape as
+# q_rank_day, but the in-bucket kernel implements SQL NTILE's exact
+# bucket-size rule (first n % b buckets get one extra row) vectorized.
+# ---------------------------------------------------------------------------
+def q_ntile_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.floor("D")
+        return (
+            df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
+                columns={"value": "day_value"}
+            )
+        )
+
+    B = 4
+
+    def bucket_ntile(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
+        d["day_value"] = round_half_away(d["day_value"], 6)
+        d = d.sort_values(
+            ["day", "day_value", "conv_id"], ascending=[True, False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        pos = d.groupby("day", sort=False).cumcount().to_numpy(np.int64)
+        n = d.groupby("day", sort=False)["conv_id"].transform("size").to_numpy(np.int64)
+        base, big = n // B, n % B
+        cut = big * (base + 1)
+        # SQL NTILE: first (n % B) tiles hold base+1 rows, the rest base
+        tile = np.where(
+            pos < cut,
+            pos // np.maximum(base + 1, 1),
+            big + (pos - cut) // np.maximum(base, 1),
+        ) + 1
+        d["quartile"] = tile.astype(np.int64)
+        d["day"] = d["day"].astype("datetime64[us]")
+        return d
+
+    partials = ts.map_batches(day_partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, bucket_ntile, key="day", sort_cols=["day", "conv_id"], num_buckets=32
+    )
+
+
+SQL_NTILE_DAY = f"""{_T},
+daily AS (
+  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  FROM t GROUP BY 1, 2
+)
+SELECT day, conv_id, day_value,
+       CAST(NTILE(4) OVER (PARTITION BY day ORDER BY day_value DESC, conv_id ASC) AS BIGINT)
+         AS quartile
+FROM daily
+"""
+
+QUERIES["w_ntile_day"] = q_ntile_day
+ORACLES["w_ntile_day"] = SQL_NTILE_DAY
+
+
+# ---------------------------------------------------------------------------
+# Conversation reassembly: the per-turn-text-equality contract made into a
+# gated query — every conversation's turns concatenated in stable
+# (ts, _seq) order with an unambiguous separator. Byte-identical output vs
+# the SQL string_agg oracle pins BOTH text round-tripping and ordering
+# (north rule: "per-turn text equality under stable (conv_id, turn_idx)
+# ordering"). Kernel is polars group_by + str.join (native, no Python loop).
+# ---------------------------------------------------------------------------
+def q_conv_text(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "text"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        lf = (
+            pl.from_pandas(g)
+            .sort(["conv_id", "ts", "_seq"])
+            .group_by("conv_id", maintain_order=True)
+            .agg(
+                conv_text=pl.col("text").fill_null("").str.join("\x1f"),
+                n_turns=pl.len().cast(pl.Int64),
+            )
+        )
+        return lf.to_pandas()
+
+    return map_conv_buckets(pruned, kern, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_CONV_TEXT = f"""{_T}
+SELECT conv_id,
+       string_agg(COALESCE(text, ''), CHR(31) ORDER BY ts, _seq) AS conv_text,
+       COUNT(*) AS n_turns
+FROM t GROUP BY conv_id
+"""
+
+QUERIES["w_conv_text"] = q_conv_text
+ORACLES["w_conv_text"] = SQL_CONV_TEXT

@@ -35,14 +35,22 @@ def asof_join(
     allow_exact_matches: bool = False,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Backward as-of join: left row at t gets latest right row with t' < t.
+    """Sorted-merge as-of join; ``direction`` picks the match side.
+
+    ``backward`` (default): left row at t gets the latest right row with
+    t' < t (strict — the leakage-free shift semantics the reference's J7
+    "latest value" lookup implies). ``forward``: the EARLIEST right row
+    with t' >= t (inclusive when ``allow_exact_matches``) — the scheduling
+    complement ("next checkpoint after this turn"); forward matches read
+    the future by construction, so it is never used for feature
+    backfill, only for label/annotation attachment. ``nearest`` is passed
+    through to the per-bucket merge for completeness.
 
     Right-side value columns that collide with left columns get ``suffix``.
-    Strict inequality (``allow_exact_matches=False``) is the leakage-free
-    default, matching the reference's shift semantics. Integer value
-    columns may come back as float64 (null-fill promotion on unmatched
-    rows) — documented, deterministic.
+    Integer value columns may come back as float64 (null-fill promotion on
+    unmatched rows) — documented, deterministic.
     """
     left_schema = left.schema()
     right_schema = right.schema()
@@ -93,7 +101,7 @@ def asof_join(
             on=on,
             by=key,
             allow_exact_matches=allow_exact_matches,
-            direction="backward",
+            direction=direction,
         )
 
     return both.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")

@@ -340,3 +340,90 @@ ORACLES = {
     "agg_nullable_sum": SQL_NULLABLE_SUM,
     "q1_pricing": SQL_Q1_PRICING,
 }
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS / ROLLUP over (day, role) — the OLAP cube family the
+# reference's per-grain stores approximate by hand (player / team / event
+# stores are three grains of the same facts). Distributed shape: ONE
+# shuffle at the FINEST grain only; the day level is derived in-bucket
+# (day is the bucket key, so each day's fine rows are co-located) and the
+# grand total folds the per-day rows — one bounded row per day — on the
+# driver. No second shuffle, no pass over raw turns for the coarse levels.
+# NULL rollup keys are replaced by pinned sentinels on both sides (nullable
+# group keys are hash-hostile across engines); `lvl` = GROUPING(day)*2 +
+# GROUPING(role).
+# ---------------------------------------------------------------------------
+_ROLLUP_DAY_SENTINEL = pd.Timestamp("1970-01-01")
+_ROLLUP_ROLE_SENTINEL = "(all)"
+
+
+def q_rollup_day_role(sf_dir: str):
+    from nfl_feature_store_ray.sources.transcripts import transcripts_from_events
+
+    tune_context()
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
+            vc=np.rint(df["value"].to_numpy() * 100.0),
+        )
+        g = df.groupby(["day", "role"], as_index=False).agg(
+            n=("vc", "size"), c=("vc", "sum")
+        )
+        return g
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        fine = g.groupby(["day", "role"], as_index=False)[["n", "c"]].sum()
+        fine["lvl"] = 0
+        day = fine.groupby("day", as_index=False)[["n", "c"]].sum()
+        day["role"] = _ROLLUP_ROLE_SENTINEL
+        day["lvl"] = 1
+        out = pd.concat([fine, day], ignore_index=True)
+        out["day"] = out["day"].astype("datetime64[us]")
+        return out[["day", "role", "lvl", "n", "c"]]
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    levels = map_conv_buckets(
+        partials, bucket_final, key="day", sort_cols=["day", "role"], num_buckets=32
+    ).to_pandas()  # bounded: one row per (day, role) + one per day
+
+    day_rows = levels[levels["lvl"] == 1]
+    grand = pd.DataFrame(
+        {
+            "day": [_ROLLUP_DAY_SENTINEL],
+            "role": [_ROLLUP_ROLE_SENTINEL],
+            "lvl": [3],
+            "n": [day_rows["n"].sum()],
+            "c": [day_rows["c"].sum()],
+        }
+    )
+    out = pd.concat([levels, grand], ignore_index=True)
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["n"] = out["n"].astype("int64")
+    out["lvl"] = out["lvl"].astype("int64")
+    out["sum_value"] = round_half_away(out["c"] / 100.0, 6)
+    return out.drop(columns=["c"])
+
+
+SQL_ROLLUP_DAY_ROLE = """
+WITH t AS ({base}),
+d AS (SELECT date_trunc('day', ts) AS day, role, ROUND(value * 100) AS vc FROM t)
+SELECT COALESCE(day, TIMESTAMP '1970-01-01') AS day,
+       COALESCE(role, '(all)') AS role,
+       CAST(GROUPING(day) * 2 + GROUPING(role) AS BIGINT) AS lvl,
+       COUNT(*) AS n,
+       ROUND(SUM(vc) / 100.0, 6) AS sum_value
+FROM d GROUP BY ROLLUP(day, role)
+"""
+
+
+def _rollup_sql() -> str:
+    from nfl_feature_store_ray.sources.transcripts import TRANSCRIPTS_FROM_EVENTS_SQL
+
+    return SQL_ROLLUP_DAY_ROLE.format(base=TRANSCRIPTS_FROM_EVENTS_SQL)
+
+
+QUERIES["rollup_day_role"] = q_rollup_day_role
+ORACLES["rollup_day_role"] = _rollup_sql()

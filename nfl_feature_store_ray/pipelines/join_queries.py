@@ -361,3 +361,105 @@ ORACLES = {
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
 }
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter-accelerated semi-join (the at-scale path for J9 when the
+# build side is too large to broadcast exactly but its BITMAP is not):
+# build a Bloom filter over the build-side keys with a distributed
+# partial-bitmap OR (each batch emits one fixed-size bitmap; the driver ORs
+# a bounded #blocks x m/8 bytes), broadcast it once via ray.put, and probe
+# on the fact side inside map_batches. Bloom passers are then EXACTLY
+# verified (here against the broadcast key set; at 100 TB the verify is a
+# keyed shuffle join of the *candidates only* — the filter's point is that
+# candidates ~ true matches + eps*N, so the shuffle ships a fraction of the
+# fact table). False-positive count is logged, never silent; the final
+# result is exact, hence the plain semi-join SQL oracle.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1 << 18  # bits (32 KiB packed) — sized for ~10k keys at k=2
+_BLOOM_K_MULT = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)  # splitmix64 / xxh64 odd constants
+
+
+def _bloom_positions(keys: np.ndarray) -> list[np.ndarray]:
+    """k=2 hash positions per key (vectorized 64-bit multiply-shift)."""
+    k = keys.astype(np.uint64)
+    out = []
+    for mult in _BLOOM_K_MULT:
+        h = (k * np.uint64(mult)) >> np.uint64(64 - 18)  # top 18 bits -> [0, M)
+        out.append(h.astype(np.int64))
+    return out
+
+
+def q_bloom_semi_join(sf_dir: str):
+    import logging
+
+    log = logging.getLogger(__name__)
+
+    # build side: customers in the first five nations (block hint: the dim
+    # is small — don't fan the bitmap build into dozens of tiny tasks)
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"], override_num_blocks=4
+    )
+
+    def build_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["c_nationkey"] < 5, "c_custkey"].to_numpy(np.int64)
+        bits = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+        for pos in _bloom_positions(keys):
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bitmap": [bits.tobytes()], "keys": [keys.tobytes()]})
+
+    parts = cust.map_batches(build_bitmap, batch_format="pandas").to_pandas()
+    bloom = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+    exact_keys = []
+    for _, row in parts.iterrows():  # bounded: one fixed-size row per input block
+        bloom |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+        exact_keys.append(np.frombuffer(row["keys"], dtype=np.int64))
+    exact = np.unique(np.concatenate(exact_keys)) if exact_keys else np.array([], np.int64)
+    bloom_ref = ray.put(bloom)
+    exact_ref = ray.put(exact)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        override_num_blocks=8,
+    )
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(bloom_ref)
+        keys = df["o_custkey"].to_numpy(np.int64)
+        hit = np.ones(len(df), dtype=bool)
+        for pos in _bloom_positions(keys):
+            hit &= (bl[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        cand = df[hit]
+        # exact verification of the candidates only
+        verified = cand[np.isin(cand["o_custkey"].to_numpy(np.int64), ray.get(exact_ref))]
+        fp = len(cand) - len(verified)
+        if fp:
+            log.info("bloom_semi_join: %d false positives verified away in batch", fp)
+        g = verified.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+        )
+        return g
+
+    partials = orders.map_batches(probe, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", as_index=False)[["n_orders", "total_price"]].sum()
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return _round(out, ["total_price"])
+
+    return map_conv_buckets(
+        partials, final, key="o_orderpriority", sort_cols=["o_orderpriority"], num_buckets=8
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+GROUP BY o_orderpriority
+"""
+
+QUERIES["bloom_semi_join"] = q_bloom_semi_join
+ORACLES["bloom_semi_join"] = SQL_BLOOM_SEMI_JOIN

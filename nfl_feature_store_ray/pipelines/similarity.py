@@ -224,3 +224,85 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_topk": SQL_ANN_TOPK,
 }
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means over the full embeddings table — the classic
+# iterative-ML-on-Dataset shape: centroids live on the DRIVER (bounded
+# k x d state), each iteration broadcasts them once via ray.put and a
+# single map_batches pass emits per-batch PARTIAL (cell -> sum-vector,
+# count, inertia) rows; the driver folds k x num_blocks partial rows and
+# updates. No shuffle at all — the all-to-all of a groupby(cell) would
+# move every vector per iteration, while the partial fold ships k x d
+# floats per block. Deterministic: init = k lowest-vec_id vectors, fixed
+# iteration count, vectors L2-normalized (cosine geometry, same
+# convention as ann_*). Iterative => not SQL-expressible: rows-only gate;
+# tests/test_kmeans.py pins exact parity with a single-process numpy
+# implementation of the same algorithm.
+# ---------------------------------------------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans_fit(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[np.ndarray, pd.DataFrame]:
+    """Returns (final centroids (k, d) L2-normalized input space, summary)."""
+    seed = _nsmallest_distributed(sf_dir, k)
+    cent = _norm_rows(np.stack(seed["embedding"].to_numpy()).astype(np.float64))
+    d = cent.shape[1]
+
+    emb = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
+    ).materialize()  # re-read every iteration; bounded here, parquet-backed at scale
+
+    summary = None
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cent_ref)
+            v = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            sims = v @ c.T
+            assign = sims.argmax(axis=1)
+            # squared euclidean on unit vectors = 2 - 2 cos
+            inert = 2.0 - 2.0 * sims[np.arange(len(v)), assign]
+            rows = []
+            for cell in np.unique(assign):
+                sel = assign == cell
+                rows.append(
+                    {
+                        "cell": int(cell),
+                        "n": int(sel.sum()),
+                        "inertia": float(inert[sel].sum()),
+                        "vsum": v[sel].sum(axis=0).tobytes(),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+        folded = []
+        for cell, g in parts.groupby("cell"):
+            vs = np.frombuffer(b"".join(g["vsum"]), dtype=np.float64).reshape(-1, d)
+            folded.append((cell, g["n"].sum(), g["inertia"].sum(), vs.sum(axis=0)))
+        new_cent = cent.copy()
+        ns, inerts = np.zeros(k, np.int64), np.zeros(k)
+        for cell, n, inert, vsum in folded:
+            new_cent[cell] = vsum / n  # empty cells keep their old centroid
+            ns[cell], inerts[cell] = n, inert
+        cent = _norm_rows(new_cent)
+        summary = pd.DataFrame(
+            {
+                "cluster": np.arange(k, dtype=np.int64),
+                "n": ns,
+                "inertia": round_half_away(inerts, 6),
+            }
+        )
+    return cent, summary
+
+
+def q_kmeans_embed(sf_dir: str):
+    return kmeans_fit(sf_dir)[1]
+
+
+QUERIES["kmeans_embed"] = q_kmeans_embed  # rows-only (iterative; numpy-parity test)

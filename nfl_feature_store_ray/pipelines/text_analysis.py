@@ -749,3 +749,90 @@ def q_sketch_top_tokens(sf_dir: str):
 
 
 QUERIES["sketch_top_tokens"] = q_sketch_top_tokens  # rows-only (approximate)
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model commonness scoring — the "how boilerplate is this
+# document" signal a pretraining curation pipeline thresholds on. The gated
+# columns are ALL-INTEGER corpus term-frequency statistics (sum / min of
+# each doc's token TFs, hapax count), following the tfidf_terms precedent:
+# the float mean-logprob variant of this score is ln()-dependent and libm
+# implementations differ by ~ulps between engines (measured: numpy vs
+# DuckDB ln disagree at 1e-15), so the exact gate stays on the integers
+# and a downstream mean_tf = sum_tf / n_tokens is one exact IEEE division
+# away for consumers.
+#
+# Shape: full corpus unigram counts via per-batch partial value_counts ->
+# one token shuffle -> bounded driver collect (vocab, not corpus, sized),
+# broadcast ONCE via ray.put; the probe is a shuffle-free map_batches with
+# a C-path merge. At 100 TB vocab the broadcast is replaced by keeping the
+# counts hash-partitioned and turning the probe into a token-keyed shuffle
+# join of (doc_id, tok) pairs — same partials, one more exchange.
+# ---------------------------------------------------------------------------
+def _corpus_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact full-vocab token counts (null text ≡ '' — one empty token)."""
+    docs = read_table(sf_dir, "documents", columns=["text"], override_num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").str.lower().str.split(" ").explode().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str), "cnt": vc.to_numpy(dtype=np.int64)})
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tok", as_index=False)["cnt"].sum()
+
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(parts, bucket_sum, key="tok", sort_cols=["tok"],
+                            num_buckets=16).to_pandas()
+
+
+def q_lm_commonness(sf_dir: str):
+    import ray as _ray
+
+    counts = _corpus_token_counts(sf_dir)
+    counts_ref = _ray.put(pd.Series(counts["cnt"].to_numpy(), index=counts["tok"]))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=8)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tf = _cached_set_get(counts_ref)
+        df = df.reset_index(drop=True)
+        tok = df["text"].fillna("").str.lower().str.split(" ").explode()
+        tfs = tok.map(tf).astype("int64")
+        grp = tfs.groupby(level=0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": grp.size().reindex(df.index, fill_value=0).astype("int64"),
+                "sum_tf": grp.sum().reindex(df.index, fill_value=0).astype("int64"),
+                "min_tf": grp.min().reindex(df.index).astype("int64"),
+                "n_hapax": (tfs == 1).groupby(level=0).sum()
+                .reindex(df.index, fill_value=0).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+SQL_LM_COMMONNESS = """
+WITH cnts AS (
+  SELECT tok, COUNT(*) AS tf
+  FROM (SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+        FROM documents) u
+  GROUP BY tok
+),
+d AS (
+  SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM documents
+)
+SELECT d.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(c.tf) AS BIGINT) AS sum_tf,
+       CAST(MIN(c.tf) AS BIGINT) AS min_tf,
+       CAST(SUM(CASE WHEN c.tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM d JOIN cnts c ON d.tok = c.tok
+GROUP BY d.doc_id
+"""
+
+QUERIES["lm_commonness"] = q_lm_commonness
+ORACLES["lm_commonness"] = SQL_LM_COMMONNESS

@@ -913,14 +913,31 @@ def q_asof_daily(sf_dir: str):
     """
     from nfl_feature_store_ray.state.asof import asof_join
 
-    ts = transcripts_from_events(sf_dir)
+    left, right = _asof_daily_sides(sf_dir)
+    joined = asof_join(left, right, key="conv_id", on="ts", allow_exact_matches=False)
+    return joined.map_batches(
+        lambda df: df[["conv_id", "_seq", "day_value"]].rename(
+            columns={"day_value": "prev_day_value"}
+        ),
+        batch_format="pandas",
+    )
 
-    # pruned to 3 columns and materialized: asof_join's schema() probe
-    # would otherwise execute the lazy derivation once for the probe and
-    # once for the union (left here is ~24 B/row)
-    left = ts.map_batches(
-        lambda df: df[["conv_id", "_seq", "ts"]], batch_format="pandas"
+
+def _asof_daily_sides(sf_dir: str, side_col: str = "day_value"):
+    """Shared setup for the daily as-of queries: ONE pruned pass over the
+    transcript table feeds BOTH join sides. The 4-column base is
+    materialized once (asof_join's schema() probe + the union would
+    otherwise each re-execute the lazy derivation); the bounded right side
+    (one row per (conv, day)) aggregates FROM that same base instead of a
+    second full read+derive of the events table."""
+    ts = transcripts_from_events(sf_dir)
+    base = ts.map_batches(
+        lambda df: df[["conv_id", "_seq", "ts", "value"]], batch_format="pandas"
     ).materialize()
+
+    left = base.map_batches(
+        lambda df: df[["conv_id", "_seq", "ts"]], batch_format="pandas"
+    )
 
     def daily_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
@@ -936,28 +953,17 @@ def q_asof_daily(sf_dir: str):
                 "conv_id": d["conv_id"],
                 # summary becomes available when its day CLOSES
                 "ts": (d["day"] + pd.Timedelta(days=1)).astype("datetime64[us]"),
-                "day_value": round_half_away(d["day_c"] / 100.0, 6),
+                side_col: round_half_away(d["day_c"] / 100.0, 6),
             }
         )
 
-    # materialize the BOUNDED right side (one row per (conv, day)):
-    # asof_join reads each input's schema(), which on a lazy sort-bearing
-    # pipeline executes it — materializing makes that free and the union
-    # re-read zero-cost instead of a full second run of the aggregation
     right = map_conv_buckets(
-        ts.map_batches(daily_partial, batch_format="pandas"),
+        base.map_batches(daily_partial, batch_format="pandas"),
         daily_final,
         key="conv_id",
         sort_cols=["conv_id", "day"],
     ).materialize()
-
-    joined = asof_join(left, right, key="conv_id", on="ts", allow_exact_matches=False)
-    return joined.map_batches(
-        lambda df: df[["conv_id", "_seq", "day_value"]].rename(
-            columns={"day_value": "prev_day_value"}
-        ),
-        batch_format="pandas",
-    )
+    return left, right
 
 
 SQL_ASOF_DAILY = f"""{_T},
@@ -1921,35 +1927,7 @@ ORACLES["w_streak"] = SQL_STREAK
 def q_asof_forward(sf_dir: str):
     from nfl_feature_store_ray.state.asof import asof_join
 
-    ts = transcripts_from_events(sf_dir)
-    left = ts.map_batches(
-        lambda df: df[["conv_id", "_seq", "ts"]], batch_format="pandas"
-    ).materialize()
-
-    def daily_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
-            vc=np.rint(df["value"].to_numpy() * 100.0),
-        )
-        return df.groupby(["conv_id", "day"], as_index=False).agg(day_c=("vc", "sum"))
-
-    def daily_final(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["conv_id", "day"], as_index=False)["day_c"].sum()
-        return pd.DataFrame(
-            {
-                "conv_id": d["conv_id"],
-                "ts": (d["day"] + pd.Timedelta(days=1)).astype("datetime64[us]"),
-                "day_close_value": round_half_away(d["day_c"] / 100.0, 6),
-            }
-        )
-
-    right = map_conv_buckets(
-        ts.map_batches(daily_partial, batch_format="pandas"),
-        daily_final,
-        key="conv_id",
-        sort_cols=["conv_id", "day"],
-    ).materialize()
-
+    left, right = _asof_daily_sides(sf_dir, side_col="day_close_value")
     joined = asof_join(
         left, right, key="conv_id", on="ts",
         allow_exact_matches=True, direction="forward",

@@ -2112,3 +2112,183 @@ FROM c GROUP BY day
 
 QUERIES["percentile_day"] = q_percentile_day
 ORACLES["percentile_day"] = SQL_PERCENTILE_DAY
+
+
+# ---------------------------------------------------------------------------
+# Toleranced as-of join: same sides as asof_daily, but a match only counts
+# if the day summary closed within 2 days of the turn — the "stale feature
+# vectors must not backfill" guard (merge_asof tolerance; SQL = ASOF match
+# then distance filter). Rides the shared one-pass side setup.
+# ---------------------------------------------------------------------------
+ASOF_TOL_DAYS = 2
+
+
+def q_asof_tolerance(sf_dir: str):
+    from nfl_feature_store_ray.state.asof import asof_join
+
+    left, right = _asof_daily_sides(sf_dir)
+    joined = asof_join(
+        left, right, key="conv_id", on="ts", allow_exact_matches=False,
+        tolerance=pd.Timedelta(days=ASOF_TOL_DAYS),
+    )
+    return joined.map_batches(
+        lambda df: df[["conv_id", "_seq", "day_value"]].rename(
+            columns={"day_value": "recent_day_value"}
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_ASOF_TOLERANCE = f"""{_T},
+daily AS (
+  SELECT conv_id, date_trunc('day', ts) + INTERVAL 1 DAY AS sts,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value
+  FROM t GROUP BY conv_id, date_trunc('day', ts)
+)
+SELECT t.conv_id, t._seq,
+       CASE WHEN t.ts - d.sts <= INTERVAL {ASOF_TOL_DAYS} DAY
+            THEN d.day_value END AS recent_day_value
+FROM t ASOF LEFT JOIN daily d ON t.conv_id = d.conv_id AND t.ts > d.sts
+"""
+
+QUERIES["asof_tolerance"] = q_asof_tolerance
+ORACLES["asof_tolerance"] = SQL_ASOF_TOLERANCE
+
+
+# ---------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT) — absent in the reference (SURVEY
+# §2.7 O5), added for completeness: conversations active on the corpus's
+# first day intersected with / minus those active on the following day.
+# Shape: per-batch distinct (conv, which-day) flags pruned to the two days
+# -> one conv shuffle -> per-conv boolean algebra. The global first day is
+# a bounded partial-min fold, never a driver full read.
+# ---------------------------------------------------------------------------
+def q_set_ops_convs(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    day_min = ts.map_batches(
+        lambda df: pd.DataFrame({"d": [df["ts"].astype("datetime64[us]").dt.floor("D").min()]}),
+        batch_format="pandas",
+    ).to_pandas()["d"].min()  # bounded: one row per block
+    d1 = pd.Timestamp(day_min)
+    d2 = d1 + pd.Timedelta(days=1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        sel = df.loc[day.isin([d1, d2]), ["conv_id"]].assign(on_d1=(day == d1)[day.isin([d1, d2])])
+        return sel.drop_duplicates()
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # a conv appears with on_d1 True (active d1) and/or False (active d2)
+        active_d1 = g[g["on_d1"]].groupby("conv_id").size()
+        active_d2 = g[~g["on_d1"]].groupby("conv_id").size()
+        s1, s2 = set(active_d1.index), set(active_d2.index)
+        inter = sorted(s1 & s2)
+        exc = sorted(s1 - s2)
+        return pd.DataFrame(
+            {
+                "op": ["intersect"] * len(inter) + ["except"] * len(exc),
+                "conv_id": inter + exc,
+            }
+        )
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(partials, bucket_fn, key="conv_id",
+                            sort_cols=["conv_id"], num_buckets=16)
+
+
+SQL_SET_OPS_CONVS = f"""{_T},
+d0 AS (SELECT MIN(date_trunc('day', ts)) AS d1 FROM t),
+a1 AS (SELECT DISTINCT conv_id FROM t, d0 WHERE date_trunc('day', ts) = d1),
+a2 AS (SELECT DISTINCT conv_id FROM t, d0 WHERE date_trunc('day', ts) = d1 + INTERVAL 1 DAY)
+SELECT 'intersect' AS op, conv_id FROM (SELECT conv_id FROM a1 INTERSECT SELECT conv_id FROM a2)
+UNION ALL
+SELECT 'except' AS op, conv_id FROM (SELECT conv_id FROM a1 EXCEPT SELECT conv_id FROM a2)
+"""
+
+QUERIES["set_ops_convs"] = q_set_ops_convs
+ORACLES["set_ops_convs"] = SQL_SET_OPS_CONVS
+
+
+# ---------------------------------------------------------------------------
+# Text normalization with byte-identical parity: lower -> replace every
+# non-[a-z0-9 ] CODE POINT with a space -> collapse space runs -> trim.
+# Engine uses pyarrow's RE2 kernels; DuckDB's regexp_replace is also RE2,
+# so the semantics (including multi-byte code points) match exactly — the
+# per-turn text-equality contract exercised through a transform instead of
+# a passthrough. Shuffle-free.
+# ---------------------------------------------------------------------------
+def q_clean_text(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ts = transcripts_from_events(sf_dir)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.coalesce(batch["text"], pa.scalar("")))
+        repl = pc.replace_substring_regex(low, pattern="[^a-z0-9 ]", replacement=" ")
+        collapsed = pc.replace_substring_regex(repl, pattern=" +", replacement=" ")
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "_seq": batch["_seq"],
+                "clean_text": pc.utf8_trim(collapsed, characters=" "),
+            }
+        )
+
+    return ts.map_batches(clean, batch_format="pyarrow")
+
+
+SQL_CLEAN_TEXT = f"""{_T}
+SELECT conv_id, _seq,
+       trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g'), ' ') AS clean_text
+FROM t
+"""
+
+QUERIES["clean_text"] = q_clean_text
+ORACLES["clean_text"] = SQL_CLEAN_TEXT
+
+
+# ---------------------------------------------------------------------------
+# Expanding distinct count: number of DISTINCT tools the conversation has
+# used up to and including each turn. Vectorized first-occurrence flags
+# (duplicated()) + per-conv cumsum; SQL mirrors with the ROW_NUMBER()=1
+# first-occurrence trick (COUNT(DISTINCT) OVER is unsupported in DuckDB).
+# ---------------------------------------------------------------------------
+def q_expanding_distinct(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "tool"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        first = (~g.duplicated(["conv_id", "tool"])) & g["tool"].notna()
+        n_dist = first.groupby(g["conv_id"].to_numpy(), sort=False).cumsum()
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g.groupby("conv_id", sort=False).cumcount().astype("int32"),
+                "n_distinct_tools": n_dist.to_numpy(np.int64),
+            }
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_EXPANDING_DISTINCT = f"""{_T},
+f AS (
+  SELECT conv_id, turn_idx, ts, _seq,
+         CASE WHEN tool IS NOT NULL
+                   AND ROW_NUMBER() OVER (PARTITION BY conv_id, tool ORDER BY ts, _seq) = 1
+              THEN 1 ELSE 0 END AS first_occ
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(SUM(first_occ) OVER ({_W} ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_distinct_tools
+FROM f
+"""
+
+QUERIES["w_expanding_distinct"] = q_expanding_distinct
+ORACLES["w_expanding_distinct"] = SQL_EXPANDING_DISTINCT

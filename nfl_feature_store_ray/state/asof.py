@@ -36,6 +36,7 @@ def asof_join(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance=None,
 ) -> ray.data.Dataset:
     """Sorted-merge as-of join; ``direction`` picks the match side.
 
@@ -47,6 +48,11 @@ def asof_join(
     the future by construction, so it is never used for feature
     backfill, only for label/annotation attachment. ``nearest`` is passed
     through to the per-bucket merge for completeness.
+
+    ``tolerance`` (a ``pd.Timedelta`` when ``on`` is a timestamp) bounds
+    the match distance: a left row whose closest right row is farther than
+    the tolerance gets nulls — the "stale feature vectors don't backfill"
+    guard rail.
 
     Right-side value columns that collide with left columns get ``suffix``.
     Integer value columns may come back as float64 (null-fill promotion on
@@ -102,6 +108,7 @@ def asof_join(
             by=key,
             allow_exact_matches=allow_exact_matches,
             direction=direction,
+            tolerance=tolerance,
         )
 
     return both.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")

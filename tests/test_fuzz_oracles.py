@@ -23,7 +23,7 @@ DOC_QUERIES = [
     "quality_flags", "sample_docs", "sample_stratified", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences",
     "decontaminate", "curate_corpus", "media_stats", "oov_rate", "tfidf_terms",
-    "hist_tokens",
+    "hist_tokens", "lm_commonness",
 ]
 
 
@@ -103,6 +103,9 @@ EVENT_QUERIES = [
     "agg_career", "w_turn_overlap", "w_novelty", "w_rolling_median",
     "agg_variance", "w_zscore_day", "role_transitions",
     "w_cummax", "w_percent_rank_day", "w_expanding_corr", "w_streak",
+    "w_asof_forward", "asof_tolerance", "w_ntile_day", "w_conv_text",
+    "rollup_day_role", "percentile_day", "clean_text", "w_expanding_distinct",
+    "set_ops_convs",
 ]
 
 

@@ -836,3 +836,60 @@ GROUP BY d.doc_id
 
 QUERIES["lm_commonness"] = q_lm_commonness
 ORACLES["lm_commonness"] = SQL_LM_COMMONNESS
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the standard pretraining-curation scrub pass: emails and
+# phone-number-shaped digit runs replaced with typed placeholder tokens,
+# per-doc match counts for audit. Engine runs pyarrow's RE2 kernels
+# (replace_substring_regex / count_substring_regex — C, shuffle-free,
+# zero-copy in); DuckDB's regexp_replace/regexp_extract_all is also RE2,
+# so redacted text is byte-identical on both sides (probed before gating,
+# incl. unicode neighbors). Patterns are deliberately conservative
+# (precision over recall) and pinned as module constants.
+# ---------------------------------------------------------------------------
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE = "\\+?[0-9][0-9 .-]{7,}[0-9]"
+
+
+def q_redact_pii(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=8)
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch["text"], pa.scalar(""))
+        n_email = pc.count_substring_regex(text, pattern=PII_EMAIL)
+        red = pc.replace_substring_regex(text, pattern=PII_EMAIL, replacement="<EMAIL>")
+        n_phone = pc.count_substring_regex(red, pattern=PII_PHONE)
+        red = pc.replace_substring_regex(red, pattern=PII_PHONE, replacement="<PHONE>")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "redacted": red,
+                "n_email": pc.cast(n_email, pa.int64()),
+                "n_phone": pc.cast(n_phone, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(redact, batch_format="pyarrow")
+
+
+SQL_REDACT_PII = f"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '{PII_EMAIL}', '<EMAIL>', 'g') AS r1,
+         length(regexp_extract_all(coalesce(text, ''), '{PII_EMAIL}')) AS n_email
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(r1, '{PII_PHONE}', '<PHONE>', 'g') AS redacted,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(length(regexp_extract_all(r1, '{PII_PHONE}')) AS BIGINT) AS n_phone
+FROM s
+"""
+
+QUERIES["redact_pii"] = q_redact_pii
+ORACLES["redact_pii"] = SQL_REDACT_PII

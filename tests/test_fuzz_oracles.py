@@ -23,7 +23,7 @@ DOC_QUERIES = [
     "quality_flags", "sample_docs", "sample_stratified", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences",
     "decontaminate", "curate_corpus", "media_stats", "oov_rate", "tfidf_terms",
-    "hist_tokens", "lm_commonness",
+    "hist_tokens", "lm_commonness", "redact_pii",
 ]
 
 

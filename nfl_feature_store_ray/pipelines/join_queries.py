@@ -463,3 +463,49 @@ GROUP BY o_orderpriority
 
 QUERIES["bloom_semi_join"] = q_bloom_semi_join
 ORACLES["bloom_semi_join"] = SQL_BLOOM_SEMI_JOIN
+
+
+# ---------------------------------------------------------------------------
+# Fact-fact distributed hash join (TPC-H Q12 shape): lineitem joined to
+# orders on the order key — both sides LARGE, so neither broadcasts; the
+# native hash-shuffle join partitions both sides on the key and joins each
+# partition independently (stages/join.py). The per-line priority
+# indicators are pre-masked BEFORE the final shipmode aggregate, which is
+# a second, tiny keyed shuffle of per-batch partials.
+# ---------------------------------------------------------------------------
+def q_join_fact_fact(sf_dir: str):
+    from nfl_feature_store_ray.stages.join import equi_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+                    override_num_blocks=8)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+                        override_num_blocks=8)
+    joined = equi_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       how="inner", num_partitions=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        df = df.assign(high_lines=hi.astype("int64"), low_lines=(~hi).astype("int64"),
+                       month=df["l_shipdate"].astype("datetime64[us]").dt.month.astype("int64"))
+        return df.groupby("month", as_index=False)[["high_lines", "low_lines"]].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("month", as_index=False)[["high_lines", "low_lines"]].sum()
+        out["high_lines"] = out["high_lines"].astype("int64")
+        out["low_lines"] = out["low_lines"].astype("int64")
+        return out
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(partials, final, key="month", sort_cols=["month"], num_buckets=8)
+
+
+SQL_JOIN_FACT_FACT = """
+SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS month,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_lines,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+QUERIES["join_fact_fact"] = q_join_fact_fact
+ORACLES["join_fact_fact"] = SQL_JOIN_FACT_FACT

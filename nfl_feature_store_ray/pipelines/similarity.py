@@ -306,3 +306,88 @@ def q_kmeans_embed(sf_dir: str):
 
 
 QUERIES["kmeans_embed"] = q_kmeans_embed  # rows-only (iterative; numpy-parity test)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the other scale path (vs IVF): L random-hyperplane
+# signature tables of B bits each; a vector is a candidate for a query iff
+# they share an exact signature in ANY table. Planes are seeded/deterministic
+# and broadcast once with the query signatures; each map_batches task
+# computes batch signatures with ONE matmul + bit-pack and scores only the
+# candidate rows (per-batch cost ~ matches, not corpus).
+#
+# Honest contract: random-hyperplane collision probability per table is
+# (1 - theta/pi)^BITS, so LSH surfaces TRUE near neighbors (small angle,
+# cos >= ~0.8) with high probability but — by design — rarely surfaces the
+# "nearest" vectors of a near-uniform corpus (cos ~0.45 is a 60-degree
+# angle; nothing is actually close). tests/test_ann_lsh.py therefore pins
+# recall on a PLANTED near-duplicate corpus (the workload LSH exists for),
+# plus determinism and ranking sanity on the shipped corpus. Approximate
+# by construction -> rows-only driver gate.
+# ---------------------------------------------------------------------------
+LSH_TABLES = 8
+LSH_BITS = 8
+LSH_SEED = 20240817
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_TABLES * LSH_BITS, dim))
+
+
+def _lsh_sigs(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, LSH_TABLES) int32 signatures: sign bits packed per table."""
+    bits = (vecs @ planes.T) > 0  # (n, T*B)
+    bits = bits.reshape(len(vecs), LSH_TABLES, LSH_BITS)
+    weights = (1 << np.arange(LSH_BITS)).astype(np.int32)
+    return (bits * weights).sum(axis=2).astype(np.int32)
+
+
+def q_ann_lsh(sf_dir: str):
+    qids, qm = _load_queries(sf_dir)
+    qn = _norm_rows(qm)
+    planes = _lsh_planes(qm.shape[1])
+    qsigs = _lsh_sigs(qn, planes)  # (nq, T)
+    planes_ref, qids_ref, qmat_ref, qsig_ref = (
+        ray.put(planes), ray.put(qids), ray.put(qm), ray.put(qsigs),
+    )
+
+    class LshTopK:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+            self.qids = ray.get(qids_ref)
+            self.qm = _norm_rows(ray.get(qmat_ref))
+            self.qsigs = ray.get(qsig_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vecs = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            vids = df["vec_id"].to_numpy(dtype=np.int64)
+            sigs = _lsh_sigs(vecs, self.planes)  # (batch, T)
+            outs = []
+            for qi, qid in enumerate(self.qids):
+                cand = (sigs == self.qsigs[qi]).any(axis=1) & (vids != qid)
+                if not cand.any():
+                    continue
+                sims = round_half_away(vecs[cand] @ self.qm[qi], 6)
+                cvids = vids[cand]
+                order = np.lexsort((cvids, -sims))[:TOP_K]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": cvids[order],
+                         "cos_sim": sims[order]}
+                    )
+                )
+            return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "neighbor_id": pd.Series([], dtype=np.int64),
+                 "cos_sim": pd.Series([], dtype=np.float64)}
+            )
+
+    emb = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
+    )
+    partials = emb.map_batches(LshTopK, batch_format="pandas", concurrency=(1, 4))
+    return _final_topk(partials.to_pandas(), TOP_K)
+
+
+QUERIES["ann_lsh"] = q_ann_lsh  # rows-only (approximate; recall test)

@@ -509,3 +509,50 @@ GROUP BY 1
 
 QUERIES["join_fact_fact"] = q_join_fact_fact
 ORACLES["join_fact_fact"] = SQL_JOIN_FACT_FACT
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / fold (the inverse of pivot_roles — the reference's
+# `df_rename_fold` wide->long algebra, SURVEY §2.2 M13): the wide
+# per-(day, conv) role columns fold back to (day, conv, role, value) rows.
+# Pure column algebra: three zero-copy projections concatenated inside the
+# same map stage — NO extra shuffle beyond the pivot's own.
+# ---------------------------------------------------------------------------
+def q_unpivot_roles(sf_dir: str):
+    wide = q_pivot_roles(sf_dir)  # (day, conv_id, user_value, assistant_value, ...)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r in ("user", "assistant", "tool"):
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "day": df["day"],
+                        "conv_id": df["conv_id"],
+                        "role": r,
+                        "role_value": df[f"{r}_value"],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return wide.map_batches(fold, batch_format="pandas")
+
+
+SQL_UNPIVOT_ROLES = f"""{_T},
+wide AS (
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         ROUND(SUM(CASE WHEN role = 'user' THEN value ELSE 0 END), 6) AS user_value,
+         ROUND(SUM(CASE WHEN role = 'assistant' THEN value ELSE 0 END), 6) AS assistant_value,
+         ROUND(SUM(CASE WHEN role = 'tool' THEN value ELSE 0 END), 6) AS tool_value
+  FROM t GROUP BY 1, 2
+)
+SELECT day, conv_id, 'user' AS role, user_value AS role_value FROM wide
+UNION ALL
+SELECT day, conv_id, 'assistant', assistant_value FROM wide
+UNION ALL
+SELECT day, conv_id, 'tool', tool_value FROM wide
+"""
+
+QUERIES["unpivot_roles"] = q_unpivot_roles
+ORACLES["unpivot_roles"] = SQL_UNPIVOT_ROLES

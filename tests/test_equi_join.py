@@ -1,0 +1,72 @@
+"""Library-level coverage of stages.join.equi_join: every supported join
+type against the pandas-merge ground truth on a small synthetic pair
+(keys present on one side, both sides, neither; duplicate keys on the
+probe side)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from nfl_feature_store_ray.stages.join import equi_join
+
+
+def _mk():
+    left = pd.DataFrame(
+        {"k": [1, 1, 2, 3, 5], "lv": [10, 11, 20, 30, 50]}
+    )
+    right = pd.DataFrame({"k": [1, 2, 2, 4], "rv": [100, 200, 201, 400]})
+    return left, right
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (
+        df[cols]
+        .sort_values(cols, kind="mergesort")
+        .reset_index(drop=True)
+        .astype("float64")
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_equi_join_matches_pandas(how):
+    left, right = _mk()
+    got = equi_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", how=how, num_partitions=4,
+    ).to_pandas()
+    want = left.merge(right, on="k", how=how)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_equi_join_semi_anti():
+    left, right = _mk()
+    semi = equi_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", how="semi", num_partitions=4,
+    ).to_pandas()
+    want_semi = left[left["k"].isin(right["k"])]
+    pd.testing.assert_frame_equal(_sorted(semi), _sorted(want_semi))
+
+    anti = equi_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", how="anti", num_partitions=4,
+    ).to_pandas()
+    want_anti = left[~left["k"].isin(right["k"])]
+    pd.testing.assert_frame_equal(_sorted(anti), _sorted(want_anti))
+
+
+def test_equi_join_different_key_names_and_unknown_how():
+    left, right = _mk()
+    right = right.rename(columns={"k": "rk"})
+    got = equi_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", right_on="rk", how="inner", num_partitions=2,
+    ).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk", how="inner")
+    assert len(got) == len(want)
+    assert np.sort(got["lv"].to_numpy()).tolist() == np.sort(want["lv"].to_numpy()).tolist()
+    with pytest.raises(ValueError):
+        equi_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                  on="k", how="cross")

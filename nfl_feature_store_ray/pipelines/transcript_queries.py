@@ -2374,3 +2374,120 @@ GROUP BY m.day, m.n, m.medc, m.madc
 
 QUERIES["w_mad_day"] = q_mad_day
 ORACLES["w_mad_day"] = SQL_MAD_DAY
+
+
+# ---------------------------------------------------------------------------
+# CUME_DIST within each day (completes the rank-family: rank / percent_rank
+# / ntile / cume_dist): fraction of the day's conversations with day_value
+# <= this one's. Vectorized per bucket: sort by (day, value) and use the
+# LAST index of each tied value run (searchsorted-right on the run ends).
+# The ratio rows/n is one exact IEEE division of small ints — identical on
+# both engines, rounded to 6 on both sides anyway.
+# ---------------------------------------------------------------------------
+def q_cume_dist_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.floor("D")
+        return (
+            df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
+                columns={"value": "day_value"}
+            )
+        )
+
+    def bucket_cume(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
+        d["day_value"] = round_half_away(d["day_value"], 6)
+        d = d.sort_values(["day", "day_value", "conv_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = d.groupby("day", sort=False)["conv_id"].transform("size").to_numpy(np.int64)
+        pos = d.groupby("day", sort=False).cumcount().to_numpy(np.int64)
+        # count of peers with value <= mine = 1 + last position of my tied
+        # run: mark run starts, cumsum into run ids, take each run's max pos
+        same_as_next = np.zeros(len(d), dtype=bool)
+        if len(d) > 1:
+            same_as_next[:-1] = (
+                (d["day"].to_numpy()[:-1] == d["day"].to_numpy()[1:])
+                & (d["day_value"].to_numpy()[:-1] == d["day_value"].to_numpy()[1:])
+            )
+        run_id = np.concatenate([[0], (~same_as_next)[:-1].cumsum()])
+        run_end_pos = pd.Series(pos).groupby(run_id).transform("max").to_numpy(np.int64)
+        d["cume_dist"] = round_half_away((run_end_pos + 1) / n, 6)
+        d["day"] = d["day"].astype("datetime64[us]")
+        return d
+
+    partials = ts.map_batches(day_partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, bucket_cume, key="day", sort_cols=["day", "conv_id"], num_buckets=32
+    )
+
+
+SQL_CUME_DIST_DAY = f"""{_T},
+daily AS (
+  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  FROM t GROUP BY 1, 2
+)
+SELECT day, conv_id, day_value,
+       ROUND(CUME_DIST() OVER (PARTITION BY day ORDER BY day_value), 6) AS cume_dist
+FROM daily
+"""
+
+QUERIES["w_cume_dist_day"] = q_cume_dist_day
+ORACLES["w_cume_dist_day"] = SQL_CUME_DIST_DAY
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (per-day LIMIT — the QUALIFY / row_number<=k shape): each
+# day's top-3 conversations by value sum. Same one-shuffle spine as
+# q_rank_day with an in-bucket head filter — per-batch PARTIAL top-k per
+# day would also work at extreme cardinality, but the day bucket already
+# holds only (day, conv) partials, not raw turns.
+# ---------------------------------------------------------------------------
+TOPK_PER_DAY = 3
+
+
+def q_topk_per_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.floor("D")
+        return (
+            df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
+                columns={"value": "day_value"}
+            )
+        )
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
+        d["day_value"] = round_half_away(d["day_value"], 6)
+        d = d.sort_values(
+            ["day", "day_value", "conv_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        d["day_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
+        d = d[d["day_rank"] <= TOPK_PER_DAY]
+        d["day"] = d["day"].astype("datetime64[us]")
+        return d
+
+    partials = ts.map_batches(day_partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, bucket_top, key="day", sort_cols=["day", "conv_id"], num_buckets=32
+    )
+
+
+SQL_TOPK_PER_DAY = f"""{_T},
+daily AS (
+  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  FROM t GROUP BY 1, 2
+),
+r AS (
+  SELECT day, conv_id, day_value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY day_value DESC, conv_id ASC)
+              AS INTEGER) AS day_rank
+  FROM daily
+)
+SELECT * FROM r WHERE day_rank <= {TOPK_PER_DAY}
+"""
+
+QUERIES["topk_per_day"] = q_topk_per_day
+ORACLES["topk_per_day"] = SQL_TOPK_PER_DAY

@@ -2491,3 +2491,66 @@ SELECT * FROM r WHERE day_rank <= {TOPK_PER_DAY}
 
 QUERIES["topk_per_day"] = q_topk_per_day
 ORACLES["topk_per_day"] = SQL_TOPK_PER_DAY
+
+
+# ---------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE frames: each turn carries its conversation's
+# opening value, its session's opening value, and the running last non-null
+# tool (LAST_VALUE IGNORE NULLS over the preceding frame — the "sticky
+# state" pattern). Vectorized: groupby-transform('first') on conv/session
+# ids and a forward-fill for the sticky tool; session ids from the same
+# gap rule as the window engine.
+# ---------------------------------------------------------------------------
+def q_first_value(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "value", "tool"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        new_conv = np.concatenate([[True], conv[1:] != conv[:-1]])
+        gap = g["ts"].astype("datetime64[us]").astype("int64").diff().to_numpy() / 1e6
+        new_sess = new_conv | (gap > SESSION_GAP_S)
+        sess_id = new_sess.cumsum()  # global session id within bucket
+        v = g["value"].to_numpy()
+        conv_first = pd.Series(v).groupby(conv, sort=False).transform("first")
+        sess_first = pd.Series(v).groupby(sess_id, sort=False).transform("first")
+        # sticky tool: last non-null tool at or before this turn, per conv
+        tool_ff = g.groupby("conv_id", sort=False)["tool"].ffill()
+        tool_ff = tool_ff.astype(object).where(tool_ff.notna(), None)
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g.groupby("conv_id", sort=False).cumcount().astype("int32"),
+                "conv_first_value": round_half_away(conv_first.to_numpy(), 6),
+                "session_first_value": round_half_away(sess_first.to_numpy(), 6),
+                "sticky_tool": tool_ff,
+            }
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_FIRST_VALUE = f"""{_T},
+b AS (
+  SELECT conv_id, turn_idx, ts, _seq, value, tool,
+         CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S}
+              OR LAG(ts) OVER ({_W}) IS NULL THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (
+  SELECT conv_id, turn_idx, ts, _seq, value, tool,
+         SUM(brk) OVER ({_W} ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM b
+)
+SELECT conv_id, turn_idx,
+       ROUND(FIRST_VALUE(value) OVER ({_W}), 6) AS conv_first_value,
+       ROUND(FIRST_VALUE(value) OVER (PARTITION BY conv_id, sess_id ORDER BY ts, _seq), 6)
+         AS session_first_value,
+       LAST_VALUE(tool IGNORE NULLS)
+         OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sticky_tool
+FROM s
+"""
+
+QUERIES["w_first_value"] = q_first_value
+ORACLES["w_first_value"] = SQL_FIRST_VALUE

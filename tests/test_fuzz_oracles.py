@@ -105,7 +105,7 @@ EVENT_QUERIES = [
     "w_cummax", "w_percent_rank_day", "w_expanding_corr", "w_streak",
     "w_asof_forward", "asof_tolerance", "w_ntile_day", "w_conv_text",
     "rollup_day_role", "percentile_day", "clean_text", "w_expanding_distinct",
-    "set_ops_convs", "w_mad_day", "w_cume_dist_day", "topk_per_day",
+    "set_ops_convs", "w_mad_day", "w_cume_dist_day", "topk_per_day", "w_first_value",
 ]
 
 

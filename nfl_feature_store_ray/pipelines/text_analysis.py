@@ -893,3 +893,192 @@ FROM s
 
 QUERIES["redact_pii"] = q_redact_pii
 ORACLES["redact_pii"] = SQL_REDACT_PII
+
+
+# ---------------------------------------------------------------------------
+# document chunking with overlap — the context-window preparation op every
+# LLM training pipeline runs before tokenization: split each document into
+# fixed-token windows (CHUNK_W) advancing by CHUNK_STRIDE (< CHUNK_W ->
+# overlapping chunks). Pure fan-out: one map_batches, NO shuffle — each
+# chunk row is a pure function of its source row, so the stage streams and
+# scales linearly with the corpus. Reference analogue: the window fan-out of
+# §2.6 applied to token position instead of time (no direct reference op;
+# added per the training-data mandate).
+# ---------------------------------------------------------------------------
+CHUNK_W = 32
+CHUNK_STRIDE = 24
+
+
+def q_chunk_docs(sf_dir: str):
+    """Token-window chunks per document: chunk k covers tokens
+    [k*STRIDE, k*STRIDE + W) for k in 0..(n_tokens-1)//STRIDE (every chunk
+    starts strictly inside the document; the last chunk may be short).
+    NULL-text docs emit no chunks (the oracle's lateral range over a NULL
+    bound is empty); empty text splits to the single token '' — one chunk —
+    matching the string_split('','') convention pinned in text_stats.
+
+    Vectorized: polars replicates each DOC row once per chunk via
+    int_ranges+explode, then list.slice/list.join build chunk texts natively
+    — no token-level explode, no per-row Python."""
+    import polars as pl
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        d = pl.from_pandas(df).drop_nulls("text")
+        if d.height == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "chunk_id": pd.Series([], dtype="int64"),
+                 "chunk_text": pd.Series([], dtype=object),
+                 "n_chunk_tokens": pd.Series([], dtype="int64")}
+            )
+        out = (
+            d.with_columns(w=pl.col("text").str.split(" "))
+            .with_columns(n=pl.col("w").list.len().cast(pl.Int64))
+            .with_columns(
+                chunk_id=pl.int_ranges(0, (pl.col("n") - 1) // CHUNK_STRIDE + 1)
+            )
+            .explode("chunk_id")
+            .with_columns(off=pl.col("chunk_id") * CHUNK_STRIDE)
+            .select(
+                "doc_id",
+                "chunk_id",
+                chunk_text=pl.col("w").list.slice(pl.col("off"), CHUNK_W).list.join(" "),
+                n_chunk_tokens=pl.min_horizontal(
+                    pl.lit(CHUNK_W, dtype=pl.Int64), pl.col("n") - pl.col("off")
+                ),
+            )
+        )
+        return out.to_pandas()
+
+    return docs.map_batches(chunks, batch_format="pandas")
+
+
+SQL_CHUNK_DOCS = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+kk AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, (n - 1) // {CHUNK_STRIDE} + 1)) AS k
+  FROM ws
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       array_to_string(w[CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT)
+                         : CAST(LEAST(k * {CHUNK_STRIDE} + {CHUNK_W}, n) AS BIGINT)],
+                       ' ') AS chunk_text,
+       CAST(LEAST({CHUNK_W}, n - k * {CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens
+FROM kk
+"""
+
+QUERIES["chunk_docs"] = q_chunk_docs
+ORACLES["chunk_docs"] = SQL_CHUNK_DOCS
+
+
+# ---------------------------------------------------------------------------
+# higher-moment aggregates: population skewness / excess kurtosis of the
+# per-document token count, per (lang, source) stratum — the corpus
+# length-distribution shape check (is a source's length profile symmetric
+# or heavy-tailed?). Extends the exact-moments family (agg_variance /
+# w_zscore_day) to 3rd/4th moments: per-batch int64 partial power sums
+# (c <= ~100 tokens -> c^4 <= 1e8, overflow-free for ~9e10 docs per
+# partial), then a BOUNDED driver merge in PYTHON INTS (arbitrary
+# precision: S1^4 at corpus scale exceeds int64; DuckDB's HUGEINT is the
+# oracle-side counterpart). Central-moment numerators are exact integers:
+#   A = n*S2 - S1^2            (= n^2 * Var_pop)
+#   B = n^2*S3 - 3n*S1*S2 + 2*S1^3      (= n^3 * M3)
+#   C = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4   (= n^4 * M4)
+# so the only float ops are the final divisions/sqrt, mirrored op-for-op
+# in the SQL (pow() is NOT correctly rounded across libms -> var*sqrt(var)
+# instead of pow(var, 1.5)).
+# ---------------------------------------------------------------------------
+def q_skew_tokens(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        c = np.where(
+            t.str.len().to_numpy() > 0, t.str.count(" ").to_numpy() + 1, 0
+        ).astype(np.int64)
+        d = pd.DataFrame(
+            {"lang": df["lang"], "source": df["source"],
+             "n": np.int64(1), "s1": c, "s2": c * c, "s3": c**3, "s4": c**4}
+        )
+        return d.groupby(["lang", "source"], as_index=False).sum()
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    # bounded driver merge (one row per stratum): object dtype -> Python
+    # ints, so S1^4-scale numerators never overflow at any corpus size
+    for col in ("n", "s1", "s2", "s3", "s4"):
+        parts[col] = parts[col].astype(object)
+    g = parts.groupby(["lang", "source"], as_index=False).sum()
+
+    rows = []
+    for r in g.itertuples(index=False):
+        n, s1, s2, s3, s4 = int(r.n), int(r.s1), int(r.s2), int(r.s3), int(r.s4)
+        a = n * s2 - s1 * s1
+        b = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        cm = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+        nf = float(n)
+        mean = float(s1) / nf
+        var = float(a) / (nf * nf)
+        if a > 0:
+            sd = np.sqrt(var)
+            skew = (float(b) / (nf * nf * nf)) / (var * sd)
+            kurt = (float(cm) / (nf * nf * nf * nf)) / (var * var) - 3.0
+        else:
+            skew = kurt = np.nan
+        rows.append((r.lang, r.source, n, mean, var, skew, kurt))
+    out = pd.DataFrame(
+        rows, columns=["lang", "source", "n_docs", "mean_tokens", "var_tokens",
+                       "skew_tokens", "kurt_tokens"]
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    for col in ("mean_tokens", "var_tokens", "skew_tokens", "kurt_tokens"):
+        out[col] = round_half_away(out[col].astype("float64"), 6)
+    return out
+
+
+SQL_SKEW_TOKENS = """
+WITH ws AS (
+  SELECT lang, source,
+         CASE WHEN length(coalesce(text, '')) > 0
+              THEN length(text) - length(replace(text, ' ', '')) + 1
+              ELSE 0 END AS c
+  FROM documents
+),
+a AS (
+  SELECT lang, source, COUNT(*) AS n,
+         SUM(CAST(c AS HUGEINT)) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+         SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+  FROM ws GROUP BY 1, 2
+),
+m AS (
+  SELECT lang, source, n, s1,
+         n * s2 - s1 * s1 AS am,
+         n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS bm,
+         n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2
+           - 3 * s1 * s1 * s1 * s1 AS cm,
+         CAST(n AS DOUBLE) AS nf,
+         CAST(n * s2 - s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var
+  FROM a
+)
+SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(s1 AS DOUBLE) / nf, 6) AS mean_tokens,
+       ROUND(var, 6) AS var_tokens,
+       ROUND(CASE WHEN am > 0 THEN
+         (CAST(bm AS DOUBLE) / (nf * nf * nf)) / (var * sqrt(var))
+       END, 6) AS skew_tokens,
+       ROUND(CASE WHEN am > 0 THEN
+         (CAST(cm AS DOUBLE) / (nf * nf * nf * nf)) / (var * var) - 3.0
+       END, 6) AS kurt_tokens
+FROM m
+"""
+
+QUERIES["skew_tokens"] = q_skew_tokens
+ORACLES["skew_tokens"] = SQL_SKEW_TOKENS

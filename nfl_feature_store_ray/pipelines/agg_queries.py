@@ -427,3 +427,81 @@ def _rollup_sql() -> str:
 
 QUERIES["rollup_day_role"] = q_rollup_day_role
 ORACLES["rollup_day_role"] = _rollup_sql()
+
+
+# ---------------------------------------------------------------------------
+# CUBE(day, role) — the full grouping-sets lattice over rollup_day_role's
+# hierarchy: fine (day, role), day marginals, ROLE marginals (the level
+# ROLLUP lacks), and the grand total, all from ONE finest-grain shuffle.
+# The role marginal and grand total are cross-day sums, computed on the
+# driver over the BOUNDED fine rows (days x roles); lvl encodes
+# GROUPING(day)*2 + GROUPING(role) exactly as DuckDB does.
+# ---------------------------------------------------------------------------
+def q_cube_day_role(sf_dir: str):
+    from nfl_feature_store_ray.sources.transcripts import transcripts_from_events
+
+    tune_context()
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
+            vc=np.rint(df["value"].to_numpy() * 100.0),
+        )
+        return df.groupby(["day", "role"], as_index=False).agg(
+            n=("vc", "size"), c=("vc", "sum")
+        )
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        # per day-bucket: the fine level and the day marginal (whole days
+        # are co-located, so both are complete here)
+        fine = g.groupby(["day", "role"], as_index=False)[["n", "c"]].sum()
+        fine["lvl"] = 0
+        day = fine.groupby("day", as_index=False)[["n", "c"]].sum()
+        day["role"] = _ROLLUP_ROLE_SENTINEL
+        day["lvl"] = 1
+        out = pd.concat([fine, day], ignore_index=True)
+        out["day"] = out["day"].astype("datetime64[us]")
+        return out[["day", "role", "lvl", "n", "c"]]
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    levels = map_conv_buckets(
+        partials, bucket_final, key="day", sort_cols=["day", "role"], num_buckets=32
+    ).to_pandas()  # bounded: (days x roles) + days rows
+
+    fine = levels[levels["lvl"] == 0]
+    role = fine.groupby("role", as_index=False)[["n", "c"]].sum()
+    role["day"] = _ROLLUP_DAY_SENTINEL
+    role["lvl"] = 2
+    grand = pd.DataFrame(
+        {"day": [_ROLLUP_DAY_SENTINEL], "role": [_ROLLUP_ROLE_SENTINEL],
+         "lvl": [3], "n": [fine["n"].sum()], "c": [fine["c"].sum()]}
+    )
+    out = pd.concat([levels, role, grand], ignore_index=True)
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["n"] = out["n"].astype("int64")
+    out["lvl"] = out["lvl"].astype("int64")
+    out["sum_value"] = round_half_away(out["c"] / 100.0, 6)
+    return out[["day", "role", "lvl", "n", "sum_value"]]
+
+
+SQL_CUBE_DAY_ROLE = """
+WITH t AS ({base}),
+d AS (SELECT date_trunc('day', ts) AS day, role, ROUND(value * 100) AS vc FROM t)
+SELECT COALESCE(day, TIMESTAMP '1970-01-01') AS day,
+       COALESCE(role, '(all)') AS role,
+       CAST(GROUPING(day) * 2 + GROUPING(role) AS BIGINT) AS lvl,
+       COUNT(*) AS n,
+       ROUND(SUM(vc) / 100.0, 6) AS sum_value
+FROM d GROUP BY CUBE(day, role)
+"""
+
+
+def _cube_sql() -> str:
+    from nfl_feature_store_ray.sources.transcripts import TRANSCRIPTS_FROM_EVENTS_SQL
+
+    return SQL_CUBE_DAY_ROLE.format(base=TRANSCRIPTS_FROM_EVENTS_SQL)
+
+
+QUERIES["cube_day_role"] = q_cube_day_role
+ORACLES["cube_day_role"] = _cube_sql()

@@ -2554,3 +2554,192 @@ FROM s
 
 QUERIES["w_first_value"] = q_first_value
 ORACLES["w_first_value"] = SQL_FIRST_VALUE
+
+
+# ---------------------------------------------------------------------------
+# weighted / boolean / filtered aggregates per day — the remaining SQL
+# aggregate kinds in one query: a token-length-weighted mean of value
+# (Σ w·c / Σ w on exact integers, ONE float division), BOOL_OR / BOOL_AND,
+# and a filtered count. Partial integer sums per batch -> bounded driver
+# merge (days are bounded; int64 headroom: w <= ~10^2 chars, c <= ~10^5
+# cents -> Σ w·c fits int64 past 10^11 rows/day; the merge itself is
+# object-int safe for anything beyond).
+# ---------------------------------------------------------------------------
+def q_agg_weighted_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].fillna("").str.len().to_numpy().astype(np.int64)
+        vc = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        d = pd.DataFrame(
+            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
+             "wc": w * vc, "w": w,
+             "any_tool": df["tool"].notna().to_numpy(),
+             "all_low": (df["value"].to_numpy() < 500.0),
+             "n_high": (vc > 10000).astype(np.int64)}
+        )
+        return d.groupby("day", as_index=False).agg(
+            wc=("wc", "sum"), w=("w", "sum"), any_tool=("any_tool", "max"),
+            all_low=("all_low", "min"), n_high=("n_high", "sum")
+        )
+
+    parts = ts.map_batches(partial, batch_format="pandas").to_pandas()
+    for col in ("wc", "w", "n_high"):
+        parts[col] = parts[col].astype(object)  # Python-int exact merge
+    g = parts.groupby("day", as_index=False).agg(
+        wc=("wc", "sum"), w=("w", "sum"), any_tool=("any_tool", "max"),
+        all_low=("all_low", "min"), n_high=("n_high", "sum")
+    )
+    w = g["w"].astype("float64").to_numpy()
+    wc = g["wc"].astype("float64").to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        wmean = np.where(w > 0, wc / (w * 100.0), np.nan)
+    return pd.DataFrame(
+        {"day": g["day"].astype("datetime64[us]"),
+         "wmean_value": round_half_away(wmean, 6),
+         "any_tool": g["any_tool"].astype(bool),
+         "all_low": g["all_low"].astype(bool),
+         "n_high": g["n_high"].astype("int64")}
+    )
+
+
+SQL_AGG_WEIGHTED_DAY = f"""{_T},
+d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS w,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         tool IS NOT NULL AS has_tool,
+         value < 500.0 AS low
+  FROM t
+)
+SELECT day,
+       ROUND(CASE WHEN SUM(w) > 0 THEN
+         CAST(SUM(w * vc) AS DOUBLE) / (CAST(SUM(w) AS DOUBLE) * 100.0)
+       END, 6) AS wmean_value,
+       BOOL_OR(has_tool) AS any_tool,
+       BOOL_AND(low) AS all_low,
+       CAST(COUNT(*) FILTER (WHERE vc > 10000) AS BIGINT) AS n_high
+FROM d GROUP BY day
+"""
+
+QUERIES["agg_weighted_day"] = q_agg_weighted_day
+ORACLES["agg_weighted_day"] = SQL_AGG_WEIGHTED_DAY
+
+
+# ---------------------------------------------------------------------------
+# offset-k lags / leads and NTH_VALUE — completes the navigation-function
+# window family (lag-1 = W1, lead-1 = w_lead_label): LAG(value, 3),
+# LAG(value, 2, default), LEAD(value, 2), and NTH_VALUE(value, 2) over the
+# running frame (the 2nd value seen so far: NULL at the first row). Pure
+# order operations inside conversation buckets — group shifts and one
+# broadcast of each conversation's 2nd value; no float arithmetic beyond
+# the 6dp rounding.
+# ---------------------------------------------------------------------------
+def q_lag_k(sf_dir: str):
+    ts = _prune(transcripts_from_events(sf_dir), ["conv_id", "ts", "_seq", "value"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        cum = g.cumcount().to_numpy()
+        # each conversation's 2nd value, broadcast to its rows (vectorized:
+        # factorize + one scatter + one gather; NULL while the running
+        # frame has fewer than 2 rows)
+        codes, _ = pd.factorize(df["conv_id"], sort=False)
+        second = np.full(codes.max() + 1 if len(codes) else 0, np.nan)
+        m2 = cum == 1
+        second[codes[m2]] = df["value"].to_numpy()[m2]
+        nth2 = np.where(cum >= 1, second[codes] if len(codes) else np.nan, np.nan)
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"],
+             "turn_idx": cum.astype("int32"),
+             "lag3_value": round_half_away(g["value"].shift(3).to_numpy(), 6),
+             "lag2_def": round_half_away(
+                 g["value"].shift(2).fillna(-1.0).to_numpy(), 6),
+             "lead2_value": round_half_away(g["value"].shift(-2).to_numpy(), 6),
+             "nth2_value": round_half_away(nth2, 6)}
+        )
+
+    return map_conv_buckets(ts, bucket_fn)
+
+
+SQL_LAG_K = f"""{_T}
+SELECT conv_id, turn_idx,
+       ROUND(LAG(value, 3) OVER ({_W}), 6) AS lag3_value,
+       ROUND(LAG(value, 2, -1.0) OVER ({_W}), 6) AS lag2_def,
+       ROUND(LEAD(value, 2) OVER ({_W}), 6) AS lead2_value,
+       ROUND(NTH_VALUE(value, 2) OVER
+         ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS nth2_value
+FROM t
+"""
+
+QUERIES["w_lag_k"] = q_lag_k
+ORACLES["w_lag_k"] = SQL_LAG_K
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding-step) event-time windows — the generalization of
+# w_tumbling to overlapping windows: width 6h, hop 2h, so every turn lands
+# in exactly width/hop = 3 windows. The per-batch partial REPLICATES each
+# pre-aggregated (conv, window) contribution once per hop offset (x3 on the
+# tiny partial rows, not the raw stream), then the same one-shuffle spine
+# as w_tumbling merges window totals. Streaming analogue of Flink/Beam
+# hopping windows; exact integer cents throughout.
+# ---------------------------------------------------------------------------
+HOP_S = 2 * 3600
+HOP_WIDTH_S = 6 * 3600
+_HOP_K = HOP_WIDTH_S // HOP_S  # 3 windows per row
+
+
+def q_hopping(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = (df["ts"].astype("datetime64[us]").astype("int64")
+                // (HOP_S * 1_000_000)).astype("int64")
+        d = pd.DataFrame(
+            {"conv_id": df["conv_id"], "m0": base,
+             "vc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64),
+             "n": np.int64(1)}
+        )
+        # pre-aggregate at the finest hop grain FIRST, then replicate the
+        # small partial rows per offset k (ships 3x partials, not 3x rows)
+        g = d.groupby(["conv_id", "m0"], as_index=False).agg(
+            n=("n", "sum"), c=("vc", "sum"))
+        reps = []
+        for k in range(_HOP_K):
+            r = g.copy()
+            r["m"] = r["m0"] - k
+            reps.append(r)
+        out = pd.concat(reps, ignore_index=True)
+        return out[["conv_id", "m", "n", "c"]]
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["conv_id", "m"], as_index=False)[["n", "c"]].sum()
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"],
+             "win_start": (g["m"] * HOP_S).astype("int64"),
+             "n_turns": g["n"].astype("int64"),
+             "sum_value": round_half_away(g["c"] / 100.0, 6)}
+        )
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, final, key=["conv_id", "m"], sort_cols=["conv_id", "m"]
+    )
+
+
+SQL_HOPPING = f"""{_T},
+r AS (SELECT unnest(range({_HOP_K})) AS k),
+d AS (
+  SELECT conv_id,
+         (CAST(FLOOR(epoch(ts) / {HOP_S}) AS BIGINT) - k) * {HOP_S} AS win_start,
+         ROUND(value * 100) AS vc
+  FROM t, r
+)
+SELECT conv_id, win_start, COUNT(*) AS n_turns,
+       ROUND(SUM(vc) / 100.0, 6) AS sum_value
+FROM d GROUP BY 1, 2
+"""
+
+QUERIES["w_hopping"] = q_hopping
+ORACLES["w_hopping"] = SQL_HOPPING

@@ -23,7 +23,7 @@ DOC_QUERIES = [
     "quality_flags", "sample_docs", "sample_stratified", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences",
     "decontaminate", "curate_corpus", "media_stats", "oov_rate", "tfidf_terms",
-    "hist_tokens", "lm_commonness", "redact_pii",
+    "hist_tokens", "lm_commonness", "redact_pii", "chunk_docs", "skew_tokens",
 ]
 
 
@@ -106,6 +106,7 @@ EVENT_QUERIES = [
     "w_asof_forward", "asof_tolerance", "w_ntile_day", "w_conv_text",
     "rollup_day_role", "percentile_day", "clean_text", "w_expanding_distinct",
     "set_ops_convs", "w_mad_day", "w_cume_dist_day", "topk_per_day", "w_first_value",
+    "agg_weighted_day", "w_lag_k", "w_hopping", "cube_day_role",
 ]
 
 

@@ -780,3 +780,140 @@ FROM reach GROUP BY n
 
 QUERIES["dedup_clusters"] = q_dedup_clusters
 ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein) near-dup — the classical string-similarity
+# member of the dedup family (exact / n-gram Jaccard / MinHash / SimHash /
+# embedding already covered): pairs of documents whose 24-char text prefix
+# is within EDIT_MAX_DIST byte edits. Candidates are BLOCKED on the first
+# 4 prefix chars (each doc lands in exactly one block -> no cross-block
+# pair dupes), one block-keyed shuffle co-locates blocks, and the distance
+# kernel is a Wagner-Fischer DP vectorized ACROSS the whole pair batch:
+# the DP cell loop is O(L^2) ~ 5k numpy ops, each over every pair at once
+# — no per-pair Python. Distances are computed over UTF-8 BYTES because
+# DuckDB's levenshtein() is byte-based (probed: levenshtein('e-acute','e')
+# = 2), while the prefix/block slicing is CHARACTER-based on both sides
+# (pandas str.slice == SQL substr).
+# ---------------------------------------------------------------------------
+EDIT_PREFIX_CHARS = 24
+EDIT_BLOCK_CHARS = 4
+EDIT_MAX_DIST = 8
+
+
+def _levenshtein_batch(strs: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Byte-level Levenshtein for pairs (strs[ia[k]], strs[ib[k]]), DP
+    vectorized over all pairs simultaneously."""
+    enc = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    lmax = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(enc), lmax), dtype=np.uint8)
+    if lmax:
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        rows = np.repeat(np.arange(len(enc)), lens)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cols = np.arange(lens.sum()) - np.repeat(offs, lens)
+        mat[rows, cols] = flat
+    a, b = mat[ia], mat[ib]
+    la, lb = lens[ia], lens[ib]
+    npairs = len(ia)
+    out = lb.astype(np.int64).copy()  # la == 0 -> distance = lb
+    prev = np.broadcast_to(np.arange(lmax + 1, dtype=np.int64),
+                           (npairs, lmax + 1)).copy()
+    snap = la == 0
+    for i in range(1, lmax + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = a[:, i - 1][:, None]
+        sub = prev[:, :-1] + (ai != b).astype(np.int64)
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        # the insert transition needs the running row minimum (left-to-right
+        # dependency); resolve it with the standard prefix-min trick:
+        # cur[j] = min(best[j], min_{k<j}(best[k] + (j-k))) computed via one
+        # cumulative minimum over (best[k] - k)
+        shifted = np.minimum.accumulate(
+            np.concatenate([cur[:, :1] - 0, best - np.arange(1, lmax + 1)], axis=1),
+            axis=1,
+        )
+        cur[:, 1:] = np.minimum(best, shifted[:, :-1] + np.arange(1, lmax + 1))
+        m = la == i
+        if m.any():
+            out[m] = cur[m, lb[m]]
+        prev = cur
+    return out
+
+
+def edit_distance_pairs(sf_dir: str, max_block: int | None = 4096):
+    """Blocked Levenshtein pair scan. ``max_block`` caps block size (a
+    4-char-prefix block over a web corpus can be O(corpus); a capped block
+    is dropped WITH a log line — module contract, like DEFAULT_MAX_DF).
+    The oracle-gated query passes ``max_block=None`` (exact at sandbox
+    scale); deployments keep the logged cap."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["text"])
+        pfx24 = d["text"].str.slice(0, EDIT_PREFIX_CHARS)
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"], "s": pfx24,
+             "blk": pfx24.str.slice(0, EDIT_BLOCK_CHARS)}
+        )
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        strs = bucket["s"].to_numpy(object)
+        ids = bucket["doc_id"].to_numpy()
+        # pair-index construction per block (bounded small Python loop over
+        # blocks); the DP kernel below runs once over ALL pairs in the bucket
+        ia_all, ib_all = [], []
+        n_capped = 0
+        for _, idx in bucket.groupby("blk", sort=False).indices.items():
+            if len(idx) < 2:
+                continue
+            if max_block is not None and len(idx) > max_block:
+                n_capped += 1
+                continue
+            iu, iv = np.triu_indices(len(idx), 1)
+            ia_all.append(idx[iu])
+            ib_all.append(idx[iv])
+        if n_capped:
+            _log_dropped_buckets("edit-distance-block", n_capped, max_block)
+        if not ia_all:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        dist = _levenshtein_batch(strs, ia, ib)
+        keep = dist <= EDIT_MAX_DIST
+        da, db = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi,
+                             "dist": dist[keep].astype("int64")})
+
+    prepped = docs.map_batches(prep, batch_format="pandas")
+    return map_conv_buckets(prepped, pairs, key="blk",
+                            sort_cols=["blk", "doc_id"], num_buckets=16)
+
+
+def q_dedup_edit_distance(sf_dir: str):
+    """Oracle-gated exact variant (no block cap at sandbox scale)."""
+    return edit_distance_pairs(sf_dir, max_block=None)
+
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX_CHARS}) AS s
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (SELECT doc_id, s, substr(s, 1, {EDIT_BLOCK_CHARS}) AS blk FROM d)
+SELECT LEAST(a.doc_id, c.doc_id) AS doc_a,
+       GREATEST(a.doc_id, c.doc_id) AS doc_b,
+       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.s, c.s) <= {EDIT_MAX_DIST}
+"""
+
+QUERIES["dedup_edit_distance"] = q_dedup_edit_distance
+ORACLES["dedup_edit_distance"] = SQL_DEDUP_EDIT_DISTANCE

@@ -334,3 +334,55 @@ def test_dedup_clusters_distributed_path_matches_fast_path(tmp_path, monkeypatch
     key = lambda df: sorted(map(tuple, df[["doc_id", "cluster_id", "is_canonical"]].to_numpy()))
     assert key(fast) == key(dist)
     assert {tuple(r) for r in fast[["doc_id", "cluster_id"]].to_numpy()} >= {(0, 0), (1, 0), (2, 0), (3, 0)}
+
+
+def test_levenshtein_kernel_matches_duckdb():
+    """The vectorized Wagner-Fischer batch kernel must agree with DuckDB's
+    byte-based levenshtein() on random multi-byte strings (incl. empties),
+    across every pair — the exactness contract behind dedup_edit_distance."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines.dedup import _levenshtein_batch
+
+    alphabet = list("abcde") + ["é", "的", " "]
+    for seed in (5, 9, 42):
+        rng = np.random.default_rng(seed)
+        strs = np.array(
+            ["".join(rng.choice(alphabet, rng.integers(0, 12)).tolist())
+             for _ in range(80)],
+            dtype=object,
+        )
+        ia, ib = np.triu_indices(80, 1)
+        got = _levenshtein_batch(strs, ia, ib)
+        con = duckdb.connect()
+        con.register("p", pd.DataFrame({"a": strs[ia], "b": strs[ib]}))
+        want = con.execute("SELECT levenshtein(a, b) FROM p").df().iloc[:, 0].to_numpy()
+        assert (got == want).all(), f"seed {seed}: {(got != want).sum()} mismatches"
+
+
+def test_edit_distance_block_cap_logs_and_drops(tmp_path, ray_session):
+    """Capped variant: an oversized block is dropped (fewer pairs), never
+    silently — the deployment default keeps the logged cap."""
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines.dedup import (
+        edit_distance_pairs,
+        q_dedup_edit_distance,
+    )
+
+    docs = pd.DataFrame(
+        {"doc_id": range(12),
+         "text": ["same prefix block " + ("x" * i) for i in range(10)]
+         + ["zz uncapped pair a", "zz uncapped pair b"],
+         "lang": "en", "source": "s", "n_chars": 20}
+    )
+    d = tmp_path / "cap"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet", index=False)
+    exact = q_dedup_edit_distance(str(d)).to_pandas()
+    capped = edit_distance_pairs(str(d), max_block=4).to_pandas()
+    assert len(exact) > len(capped)  # the hot 10-doc block was dropped
+    # the small block survives the cap
+    assert (capped[["doc_a", "doc_b"]].to_numpy() == [[10, 11]]).all()

@@ -386,3 +386,31 @@ def test_edit_distance_block_cap_logs_and_drops(tmp_path, ray_session):
     assert len(exact) > len(capped)  # the hot 10-doc block was dropped
     # the small block survives the cap
     assert (capped[["doc_a", "doc_b"]].to_numpy() == [[10, 11]]).all()
+
+
+def test_levenshtein_banded_kernel_contract():
+    """Banded kernel: EXACT for pairs with true distance <= tmax, and a
+    lower bound strictly above tmax otherwise — per the Ukkonen cutoff
+    contract the gated query relies on."""
+    import numpy as np
+
+    from nfl_feature_store_ray.pipelines.dedup import (
+        _levenshtein_batch,
+        _levenshtein_batch_banded,
+    )
+
+    alphabet = list("abcde") + ["é", "的", " "]
+    for seed in (5, 9, 42, 7):
+        rng = np.random.default_rng(seed)
+        strs = np.array(
+            ["".join(rng.choice(alphabet, rng.integers(0, 14)).tolist())
+             for _ in range(80)],
+            dtype=object,
+        )
+        ia, ib = np.triu_indices(80, 1)
+        full = _levenshtein_batch(strs, ia, ib)
+        for tmax in (2, 4, 8):
+            band = _levenshtein_batch_banded(strs, ia, ib, tmax)
+            le = full <= tmax
+            assert (band[le] == full[le]).all(), (seed, tmax)
+            assert (band[~le] > tmax).all(), (seed, tmax)

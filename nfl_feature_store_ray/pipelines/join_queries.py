@@ -556,3 +556,73 @@ SELECT day, conv_id, 'tool', tool_value FROM wide
 
 QUERIES["unpivot_roles"] = q_unpivot_roles
 ORACLES["unpivot_roles"] = SQL_UNPIVOT_ROLES
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER equi-join — the NULL-preserving join variant the star merge
+# (J1-J4) special-cases, gated directly on the generic distributed hash
+# join: customers FULL OUTER their per-customer order rollup, keeping both
+# order-less customers (NULL order stats) and any orphan order keys. One
+# orders shuffle for the rollup; the join itself is the stages.join
+# hash-partition exchange. Exact integer cents for the price total.
+# ---------------------------------------------------------------------------
+def q_join_full_outer(sf_dir: str):
+    from nfl_feature_store_ray.stages.join import equi_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+                      override_num_blocks=8)
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+                        override_num_blocks=8)
+
+    def order_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"o_custkey": df["o_custkey"],
+             "n_orders": np.int64(1),
+             "pc": np.rint(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)}
+        )
+        return d.groupby("o_custkey", as_index=False).sum()
+
+    # partial per batch, then the join's own hash partitioning co-locates
+    # the partial rows — the final per-key sum folds inside the join stage
+    parts = orders.map_batches(order_partial, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).sum()
+
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    rolled = map_conv_buckets(parts, fold, key="o_custkey",
+                              sort_cols=["o_custkey"], num_buckets=16)
+    joined = equi_join(cust, rolled, on="c_custkey", right_on="o_custkey",
+                       how="outer", num_partitions=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].to_numpy(dtype="float64")
+        rkey = df["o_custkey"].to_numpy(dtype="float64") if "o_custkey" in df else key
+        custkey = np.where(np.isnan(key), rkey, key)
+        return pd.DataFrame(
+            {"custkey": custkey.astype("int64"),
+             "c_mktsegment": df["c_mktsegment"],
+             "n_orders": df["n_orders"].astype("float64"),
+             "total_price": round_half_away(
+                 df["pc"].astype("float64") / 100.0, 6)}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_JOIN_FULL_OUTER = """
+WITH r AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS pc
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c.c_custkey, r.o_custkey) AS custkey,
+       c.c_mktsegment,
+       CAST(r.n_orders AS DOUBLE) AS n_orders,
+       ROUND(r.pc / 100.0, 6) AS total_price
+FROM customer c FULL OUTER JOIN r ON c.c_custkey = r.o_custkey
+"""
+
+QUERIES["join_full_outer"] = q_join_full_outer
+ORACLES["join_full_outer"] = SQL_JOIN_FULL_OUTER

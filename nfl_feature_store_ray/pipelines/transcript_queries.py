@@ -2743,3 +2743,109 @@ FROM d GROUP BY 1, 2
 
 QUERIES["w_hopping"] = q_hopping
 ORACLES["w_hopping"] = SQL_HOPPING
+
+
+# ---------------------------------------------------------------------------
+# assistant response latency — per non-assistant turn, seconds until the
+# NEXT assistant turn in the same conversation (NULL when none follows):
+# the dialogue-quality metric every conversational corpus pipeline reports.
+# Forward-looking by design (a LABEL, like w_lead_label — excluded from the
+# leakage contract by name). Engine: one REVERSED masked cummin of the
+# assistant timestamps per conversation — no per-row loops, no join.
+# ---------------------------------------------------------------------------
+def q_response_latency(sf_dir: str):
+    ts = _prune(transcripts_from_events(sf_dir), ["conv_id", "ts", "_seq", "role"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        t_us = df["ts"].astype("datetime64[us]").astype("int64")
+        # +inf (not NaN) as the mask filler: pandas cummin emits NaN AT NaN
+        # positions instead of carrying the running min through them
+        at = t_us.where(df["role"].to_numpy() == "assistant").fillna(np.inf)
+        # next assistant ts at or after each row = reversed cummin of the
+        # masked series; shift(-1) within the group makes it STRICTLY after
+        nxt = (
+            at.iloc[::-1].groupby(df["conv_id"].iloc[::-1], sort=False)
+            .cummin().iloc[::-1]
+        )
+        nxt = nxt.groupby(df["conv_id"], sort=False).shift(-1)
+        nv = nxt.to_numpy()
+        nv = np.where(np.isinf(nv), np.nan, nv)
+        lat = (nv - t_us.to_numpy()) / 1e6
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"],
+             "turn_idx": g.cumcount().astype("int32"),
+             "role": df["role"],
+             "latency_s": round_half_away(lat, 6)}
+        )
+
+    return map_conv_buckets(ts, bucket_fn)
+
+
+# careful: engine divides the µs delta by 1e6 ONCE; the SQL mirrors with
+# (epoch_us(next) - epoch_us(ts)) / 1000000.0 — identical single division
+SQL_RESPONSE_LATENCY = f"""{_T},
+n AS (
+  SELECT conv_id, turn_idx, role, epoch_us(ts) AS t_us,
+         MIN(CASE WHEN role = 'assistant' THEN epoch_us(ts) END) OVER
+           ({_W} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_us
+  FROM t
+)
+SELECT conv_id, turn_idx, role,
+       ROUND((nxt_us - t_us) / 1000000.0, 6) AS latency_s
+FROM n
+"""
+
+QUERIES["w_response_latency"] = q_response_latency
+ORACLES["w_response_latency"] = SQL_RESPONSE_LATENCY
+
+
+# ---------------------------------------------------------------------------
+# ratio-to-report: each conversation's share of its day's total value —
+# the classic "percent of group total" window (SUM OVER PARTITION without
+# ORDER). Exact integer cent totals on both levels; ONE float division,
+# mirrored in the SQL. Same one-day-shuffle spine as w_zscore_day.
+# ---------------------------------------------------------------------------
+def q_share_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
+             "conv_id": df["conv_id"],
+             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+        )
+        return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+        tot = d.groupby("day", sort=False)["xc"].transform("sum").to_numpy(np.int64)
+        xc = d["xc"].to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sh = np.where(tot != 0, xc / tot.astype(np.float64), np.nan)
+        return pd.DataFrame(
+            {"day": d["day"].astype("datetime64[us]"), "conv_id": d["conv_id"],
+             "day_value": round_half_away(xc / 100.0, 6),
+             "share_day": round_half_away(sh, 6)}
+        )
+
+    partials = ts.map_batches(day_partial, batch_format="pandas")
+    return map_conv_buckets(partials, share, key="day",
+                            sort_cols=["day", "conv_id"], num_buckets=32)
+
+
+SQL_SHARE_DAY = f"""{_T},
+d AS (
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS xc
+  FROM t GROUP BY 1, 2
+)
+SELECT day, conv_id, ROUND(xc / 100.0, 6) AS day_value,
+       ROUND(CASE WHEN SUM(xc) OVER (PARTITION BY day) != 0 THEN
+         xc / CAST(SUM(xc) OVER (PARTITION BY day) AS DOUBLE)
+       END, 6) AS share_day
+FROM d
+"""
+
+QUERIES["w_share_day"] = q_share_day
+ORACLES["w_share_day"] = SQL_SHARE_DAY

@@ -2849,3 +2849,145 @@ FROM d
 
 QUERIES["w_share_day"] = q_share_day
 ORACLES["w_share_day"] = SQL_SHARE_DAY
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern counts — MATCH_RECOGNIZE reduced to its common fixed
+# cases: per conversation, how often does (user -> assistant) adjacency and
+# the full (user -> assistant -> tool) trigram occur? Shifted role
+# comparisons inside conversation buckets (never across boundaries);
+# all-integer output. The dialogue-structure counterpart of
+# role_transitions at the per-conversation grain.
+# ---------------------------------------------------------------------------
+def q_pattern_count(sf_dir: str):
+    ts = _prune(transcripts_from_events(sf_dir), ["conv_id", "ts", "_seq", "role"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        r = df["role"].to_numpy(object)
+        p1 = g["role"].shift(1).to_numpy(object)
+        p2 = g["role"].shift(2).to_numpy(object)
+        ua = (p1 == "user") & (r == "assistant")
+        uat = (p2 == "user") & (p1 == "assistant") & (r == "tool")
+        d = pd.DataFrame({"conv_id": df["conv_id"],
+                          "n_ua": ua.astype(np.int64),
+                          "n_uat": uat.astype(np.int64),
+                          "n": np.int64(1)})
+        out = d.groupby("conv_id", as_index=False).sum()
+        out["n_turns"] = out.pop("n").astype("int64")
+        return out[["conv_id", "n_turns", "n_ua", "n_uat"]]
+
+    return map_conv_buckets(ts, bucket_fn)
+
+
+SQL_PATTERN_COUNT = f"""{_T},
+l AS (
+  SELECT conv_id, role,
+         LAG(role) OVER ({_W}) AS p1,
+         LAG(role, 2) OVER ({_W}) AS p2
+  FROM t
+)
+SELECT conv_id, COUNT(*) AS n_turns,
+       CAST(COUNT(*) FILTER (WHERE p1 = 'user' AND role = 'assistant') AS BIGINT) AS n_ua,
+       CAST(COUNT(*) FILTER (WHERE p2 = 'user' AND p1 = 'assistant' AND role = 'tool')
+            AS BIGINT) AS n_uat
+FROM l GROUP BY conv_id
+"""
+
+QUERIES["w_pattern_count"] = q_pattern_count
+ORACLES["w_pattern_count"] = SQL_PATTERN_COUNT
+
+
+# ---------------------------------------------------------------------------
+# quantile-bucket feature discretization — assign each conversation-day
+# total to its day's quartile bucket (1..4): the standard ML binning prep.
+# Thresholds are DISCRETE order statistics (DuckDB quantile_disc rank rule
+# ceil(q*n), pinned in quantile_tokens) on exact integer cents, so the
+# bucket comparison is all-integer -> hash-exact. One day shuffle; the
+# whole day is co-located, so thresholds and bucketing happen in one pass.
+# ---------------------------------------------------------------------------
+def q_quartile_bucket(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
+             "conv_id": df["conv_id"],
+             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+        )
+        return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+
+    def bucketize(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+        xc = d["xc"].to_numpy(np.int64)
+        bucket = np.ones(len(d), dtype=np.int64)
+        for day, idx in d.groupby("day", sort=False).indices.items():
+            v = np.sort(xc[idx])
+            n = len(v)
+            for q in (0.25, 0.5, 0.75):
+                thr = v[max(1, int(np.ceil(q * n))) - 1]  # quantile_disc rank
+                bucket[idx] += (xc[idx] > thr).astype(np.int64)
+        return pd.DataFrame(
+            {"day": d["day"].astype("datetime64[us]"), "conv_id": d["conv_id"],
+             "day_value": round_half_away(xc / 100.0, 6),
+             "q_bucket": bucket}
+        )
+
+    partials = ts.map_batches(day_partial, batch_format="pandas")
+    return map_conv_buckets(partials, bucketize, key="day",
+                            sort_cols=["day", "conv_id"], num_buckets=32)
+
+
+SQL_QUARTILE_BUCKET = f"""{_T},
+d AS (
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS xc
+  FROM t GROUP BY 1, 2
+),
+s AS (
+  SELECT day, quantile_disc(xc, 0.25) AS t1, quantile_disc(xc, 0.50) AS t2,
+         quantile_disc(xc, 0.75) AS t3
+  FROM d GROUP BY day
+)
+SELECT d.day, d.conv_id, ROUND(d.xc / 100.0, 6) AS day_value,
+       CAST(1 + (d.xc > s.t1)::INT + (d.xc > s.t2)::INT + (d.xc > s.t3)::INT
+            AS BIGINT) AS q_bucket
+FROM d JOIN s USING (day)
+"""
+
+QUERIES["w_quartile_bucket"] = q_quartile_bucket
+ORACLES["w_quartile_bucket"] = SQL_QUARTILE_BUCKET
+
+
+# ---------------------------------------------------------------------------
+# consecutive-duplicate compaction — drop turns whose text exactly repeats
+# the previous turn's text in the same conversation (keep the first of each
+# run): the stream-compaction dedup for stuttering agent loops, complement
+# of w_turn_overlap's detector. NULL-safe semantics mirror SQL's
+# IS DISTINCT FROM (NULL after NULL is NOT distinct -> dropped).
+# ---------------------------------------------------------------------------
+def q_dedup_consecutive(sf_dir: str):
+    ts = _prune(transcripts_from_events(sf_dir), ["conv_id", "ts", "_seq", "text"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        txt = df["text"]
+        prev = g["text"].shift(1)
+        same = (txt == prev) | (txt.isna() & prev.isna())
+        out = df.assign(turn_idx=g.cumcount().astype("int32"))[~same.to_numpy()]
+        return out[["conv_id", "turn_idx", "text"]]
+
+    return map_conv_buckets(ts, bucket_fn)
+
+
+SQL_DEDUP_CONSECUTIVE = f"""{_T},
+l AS (
+  SELECT conv_id, turn_idx, text, LAG(text) OVER ({_W}) AS prev
+  FROM t
+)
+SELECT conv_id, turn_idx, text
+FROM l WHERE text IS DISTINCT FROM prev
+"""
+
+QUERIES["dedup_consecutive"] = q_dedup_consecutive
+ORACLES["dedup_consecutive"] = SQL_DEDUP_CONSECUTIVE

@@ -108,7 +108,8 @@ EVENT_QUERIES = [
     "rollup_day_role", "percentile_day", "clean_text", "w_expanding_distinct",
     "set_ops_convs", "w_mad_day", "w_cume_dist_day", "topk_per_day", "w_first_value",
     "agg_weighted_day", "w_lag_k", "w_hopping", "cube_day_role",
-    "w_response_latency", "w_share_day",
+    "w_response_latency", "w_share_day", "w_pattern_count",
+    "w_quartile_bucket", "dedup_consecutive",
 ]
 
 

@@ -2991,3 +2991,84 @@ FROM l WHERE text IS DISTINCT FROM prev
 
 QUERIES["dedup_consecutive"] = q_dedup_consecutive
 ORACLES["dedup_consecutive"] = SQL_DEDUP_CONSECUTIVE
+
+
+# ---------------------------------------------------------------------------
+# time-of-day / day-of-week seasonality profile — the calendar-dimension
+# extraction (EXTRACT(hour), EXTRACT(dow)) every temporal feature store
+# publishes: counts and exact cent sums per (hour, dow, role). Bounded
+# domain (24 x 7 x 3) -> per-batch partials + tiny driver merge, NO
+# shuffle. dow follows DuckDB/Postgres numbering (Sunday = 0).
+# ---------------------------------------------------------------------------
+def q_hour_profile(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]")
+        d = pd.DataFrame(
+            {"hour": t.dt.hour.astype("int64"),
+             # pandas dayofweek: Monday=0 -> Postgres dow: Sunday=0
+             "dow": ((t.dt.dayofweek + 1) % 7).astype("int64"),
+             "role": df["role"],
+             "n": np.int64(1),
+             "c": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+        )
+        return d.groupby(["hour", "dow", "role"], as_index=False).sum()
+
+    parts = ts.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["hour", "dow", "role"], as_index=False).sum()
+    g["n"] = g["n"].astype("int64")
+    g["sum_value"] = round_half_away(g["c"] / 100.0, 6)
+    return g.drop(columns=["c"])
+
+
+SQL_HOUR_PROFILE = f"""{_T}
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+       role, COUNT(*) AS n,
+       ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS sum_value
+FROM t GROUP BY 1, 2, 3
+"""
+
+QUERIES["agg_hour_profile"] = q_hour_profile
+ORACLES["agg_hour_profile"] = SQL_HOUR_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# collect_set: the sorted distinct tools each conversation used, as one
+# canonical comma-joined string (array_agg(DISTINCT .. ORDER BY ..)) plus
+# the distinct count — the "entity capability set" rollup. Per-batch
+# partial DISTINCT pairs -> one conv shuffle of the deduped pairs -> sorted
+# join inside the bucket (exact string equality with the SQL).
+# ---------------------------------------------------------------------------
+def q_tool_set(sf_dir: str):
+    ts = _prune(transcripts_from_events(sf_dir), ["conv_id", "tool"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["tool"]).drop_duplicates(["conv_id", "tool"])
+        return d[["conv_id", "tool"]]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["conv_id", "tool"]).sort_values(
+            ["conv_id", "tool"], kind="mergesort"
+        )
+        gb = d.groupby("conv_id", sort=False)["tool"]
+        out = gb.agg(",".join).reset_index(name="tool_set")
+        out["n_tools"] = gb.size().to_numpy().astype("int64")
+        return out
+
+    partials = ts.map_batches(partial, batch_format="pandas")
+    return map_conv_buckets(partials, final, key="conv_id",
+                            sort_cols=["conv_id", "tool"])
+
+
+SQL_TOOL_SET = f"""{_T}
+SELECT conv_id,
+       string_agg(DISTINCT tool, ',' ORDER BY tool) AS tool_set,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
+FROM t WHERE tool IS NOT NULL
+GROUP BY conv_id
+"""
+
+QUERIES["agg_tool_set"] = q_tool_set
+ORACLES["agg_tool_set"] = SQL_TOOL_SET

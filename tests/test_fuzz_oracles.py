@@ -109,7 +109,7 @@ EVENT_QUERIES = [
     "set_ops_convs", "w_mad_day", "w_cume_dist_day", "topk_per_day", "w_first_value",
     "agg_weighted_day", "w_lag_k", "w_hopping", "cube_day_role",
     "w_response_latency", "w_share_day", "w_pattern_count",
-    "w_quartile_bucket", "dedup_consecutive",
+    "w_quartile_bucket", "dedup_consecutive", "agg_hour_profile", "agg_tool_set",
 ]
 
 

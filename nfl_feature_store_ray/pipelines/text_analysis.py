@@ -1082,3 +1082,75 @@ FROM m
 
 QUERIES["skew_tokens"] = q_skew_tokens
 ORACLES["skew_tokens"] = SQL_SKEW_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the fourth mergeable summary next to HLL (distinct),
+# DDSketch (quantiles) and Misra-Gries (heavy hitters): fixed D x W counter
+# matrices that merge by elementwise SUM, so corpus-wide frequency
+# estimates need zero shuffle and O(D*W) driver state. Estimates
+# OVERCOUNT only: true <= est <= true + (N - true)/W per row in
+# expectation, min over D rows. (Cormode & Muthukrishnan 2005 — public.)
+# Gated rows-only (hash-seeded cells aren't SQL-portable); the
+# overestimate guarantee, merge invariance, and determinism are pinned by
+# tests/test_sketch.py.
+# ---------------------------------------------------------------------------
+CMS_W = 1024
+CMS_D = 4
+_CMS_A = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                   0x165667B19E3779F9, 0x27D4EB2F165667C5], dtype=np.uint64)
+_CMS_B = np.array([0x85EBCA6B, 0xC2B2AE35, 0x94D049BB, 0xBF58476D],
+                  dtype=np.uint64)
+
+
+def _cms_rows(tokens: np.ndarray, counts: np.ndarray) -> pd.DataFrame:
+    """One (d, w, cnt) sparse partial from (unique token, count) pairs."""
+    h0 = tf.hash61_array(tokens).astype(np.uint64)
+    out_d, out_w, out_c = [], [], []
+    for d in range(CMS_D):
+        cell = ((h0 * _CMS_A[d] + _CMS_B[d]) >> np.uint64(17)) % np.uint64(CMS_W)
+        acc = np.zeros(CMS_W, dtype=np.int64)
+        np.add.at(acc, cell.astype(np.int64), counts)
+        nz = np.flatnonzero(acc)
+        out_d.append(np.full(len(nz), d, dtype=np.int64))
+        out_w.append(nz.astype(np.int64))
+        out_c.append(acc[nz])
+    return pd.DataFrame({"d": np.concatenate(out_d),
+                         "w": np.concatenate(out_w),
+                         "cnt": np.concatenate(out_c)})
+
+
+def cms_estimate(table: pd.DataFrame, probes: np.ndarray) -> np.ndarray:
+    """Point-query the merged sparse sketch for each probe token."""
+    dense = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    dense[table["d"].to_numpy(), table["w"].to_numpy()] = table["cnt"].to_numpy()
+    h0 = tf.hash61_array(probes).astype(np.uint64)
+    ests = np.full(len(probes), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(CMS_D):
+        cell = ((h0 * _CMS_A[d] + _CMS_B[d]) >> np.uint64(17)) % np.uint64(CMS_W)
+        ests = np.minimum(ests, dense[d, cell.astype(np.int64)])
+    return ests
+
+
+def q_sketch_cms(sf_dir: str):
+    """CMS frequency estimates for the stopword probe set over the corpus
+    token stream. Per batch: exact value_counts -> one sparse (d, w, cnt)
+    partial; driver merge is a groupby-sum over <= D*W cells."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.lower().str.split(" ").explode().dropna().value_counts()
+        if not len(vc):
+            return pd.DataFrame({"d": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return _cms_rows(vc.index.to_numpy(object), vc.to_numpy(np.int64))
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby(["d", "w"], as_index=False)["cnt"].sum()
+    probes = np.asarray(sorted(_STOPWORDS), dtype=object)
+    est = cms_estimate(merged, probes)
+    return pd.DataFrame({"tok": probes, "est": est.astype("int64")})
+
+
+QUERIES["sketch_cms"] = q_sketch_cms  # rows-only (hash cells not SQL-portable)

@@ -88,3 +88,72 @@ def test_sketch_handles_nonpositive_and_nan():
     )
     assert est.loc[est["q"] == 0.25, "est"].iloc[0] == 0.0  # sentinel region
     assert abs(est.loc[est["q"] == 0.9, "est"].iloc[0] - 100.0) / 100.0 <= DD_ALPHA
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+def test_cms_overestimates_and_bounds():
+    """est >= true for every probe; min-over-rows error stays within the
+    expected-bound ballpark on a skewed corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines.text_analysis import (
+        CMS_W, _cms_rows, cms_estimate,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"tok{i}" for i in range(5000)], dtype=object)
+    counts = (rng.zipf(1.3, 5000).astype(np.int64) % 1000) + 1
+    table = _cms_rows(vocab, counts).groupby(["d", "w"], as_index=False)["cnt"].sum()
+    probes = vocab[:200]
+    est = cms_estimate(table, probes)
+    true = counts[:200]
+    assert (est >= true).all()
+    n_total = int(counts.sum())
+    # min over 4 rows: allow 8x the single-row expectation as headroom
+    assert (est - true).max() <= 8 * n_total / CMS_W
+
+
+def test_cms_merge_invariance():
+    """Summing per-chunk sparse partials == sketching the whole stream:
+    the mergeability contract that makes the op shuffle-free."""
+    import numpy as np
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines.text_analysis import _cms_rows, cms_estimate
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(800)], dtype=object)
+    counts = rng.integers(1, 50, 800).astype(np.int64)
+    whole = _cms_rows(vocab, counts)
+    parts = []
+    for lo in range(0, 800, 97):  # uneven chunks
+        sl = slice(lo, min(lo + 97, 800))
+        parts.append(_cms_rows(vocab[sl], counts[sl]))
+    merged = pd.concat(parts).groupby(["d", "w"], as_index=False)["cnt"].sum()
+    whole_m = whole.groupby(["d", "w"], as_index=False)["cnt"].sum()
+    probes = vocab[::7]
+    assert (cms_estimate(merged, probes) == cms_estimate(whole_m, probes)).all()
+
+
+def test_cms_query_deterministic(ray_session):
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines.text_analysis import q_sketch_cms
+
+    a = q_sketch_cms("/root/testdata/sf0.001")
+    b = q_sketch_cms("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    # every stopword's estimate must be >= its exact corpus count
+    import duckdb
+
+    true = duckdb.sql("""
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM '/root/testdata/sf0.001/documents.parquet' WHERE text IS NOT NULL
+      ) GROUP BY tok
+    """).df().set_index("tok")["c"]
+    for _, r in a.iterrows():
+        assert r["est"] >= int(true.get(r["tok"], 0))

@@ -162,6 +162,14 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     timed("curate_corpus", lambda: q_curate_corpus(sf_dir))
 
+    # round-3 continuation: overlapping chunk fan-out (pure map, no
+    # shuffle) and the blocked Levenshtein near-dup (banded int32 DP)
+    from nfl_feature_store_ray.pipelines.dedup import q_dedup_edit_distance
+    from nfl_feature_store_ray.pipelines.text_analysis import q_chunk_docs
+
+    timed("chunk_docs", lambda: q_chunk_docs(sf_dir))
+    timed("dedup_edit_distance", lambda: q_dedup_edit_distance(sf_dir))
+
     result = {
         "metric": "flagship window-feature materialization wall time",
         "value": headline,

@@ -3072,3 +3072,79 @@ GROUP BY conv_id
 
 QUERIES["agg_tool_set"] = q_tool_set
 ORACLES["agg_tool_set"] = SQL_TOOL_SET
+
+
+# ---------------------------------------------------------------------------
+# sessionized funnel — per session: seconds from session start to the
+# FIRST tool turn (NULL when the session never reaches a tool), plus the
+# number of turns before it. The time-to-conversion composite of the
+# sessionization machinery (session_stats) and a conditional MIN; µs
+# integers end-to-end, one division, same single conv shuffle.
+# ---------------------------------------------------------------------------
+def q_session_funnel(sf_dir: str):
+    from nfl_feature_store_ray.schemas import SESSION_GAP_S
+
+    pruned = _prune(transcripts_from_events(sf_dir), ["conv_id", "ts", "_seq", "role"])
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        gap = g.groupby("conv_id")["ts"].diff().dt.total_seconds()
+        g["session_id"] = (
+            (gap > SESSION_GAP_S).fillna(False).astype("int32")
+            .groupby(g["conv_id"]).cumsum()
+        )
+        t_us = g["ts"].astype("datetime64[us]").astype("int64")
+        g["_t"] = t_us
+        g["_tool_t"] = t_us.where(g["role"].to_numpy() == "tool")
+        is_tool = (g["role"] == "tool").to_numpy()
+        # turns strictly before the first tool turn: cumcount at the first
+        # tool row per session (vectorized: running count minus correction)
+        grp = g.groupby(["conv_id", "session_id"], as_index=False)
+        pos = g.groupby(["conv_id", "session_id"]).cumcount().to_numpy()
+        g["_tool_pos"] = pd.Series(pos, index=g.index).where(is_tool)
+        out = grp.agg(
+            n_turns=("role", "size"),
+            t0=("_t", "min"),
+            tt=("_tool_t", "min"),
+            first_tool_pos=("_tool_pos", "min"),
+        )
+        lat = (out["tt"].to_numpy() - out["t0"].to_numpy()) / 1e6
+        return pd.DataFrame(
+            {"conv_id": out["conv_id"],
+             "session_id": out["session_id"].astype("int32"),
+             "n_turns": out["n_turns"].astype("int64"),
+             "turns_to_tool": out["first_tool_pos"].astype("float64"),
+             "secs_to_tool": round_half_away(lat, 6)}
+        )
+
+    return map_conv_buckets(pruned, funnel, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_SESSION_FUNNEL = f"""{_T},
+g AS (
+  SELECT conv_id, ts, _seq, role,
+         CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (
+  SELECT conv_id, ts, _seq, role,
+         CAST(SUM(brk) OVER ({_W}) AS INTEGER) AS session_id
+  FROM g
+),
+p AS (
+  SELECT conv_id, session_id, ts, role,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, session_id
+                            ORDER BY ts, _seq) - 1 AS pos
+  FROM s
+)
+SELECT conv_id, session_id, COUNT(*) AS n_turns,
+       CAST(MIN(CASE WHEN role = 'tool' THEN pos END) AS DOUBLE) AS turns_to_tool,
+       ROUND((MIN(CASE WHEN role = 'tool' THEN epoch_us(ts) END)
+              - MIN(epoch_us(ts))) / 1000000.0, 6) AS secs_to_tool
+FROM p GROUP BY conv_id, session_id
+"""
+
+QUERIES["w_session_funnel"] = q_session_funnel
+ORACLES["w_session_funnel"] = SQL_SESSION_FUNNEL

@@ -263,5 +263,74 @@ SELECT doc_id,
 FROM documents
 """
 
-QUERIES = {"media_stats": q_media_stats}
-ORACLES = {"media_stats": SQL_MEDIA_STATS}
+# ---------------------------------------------------------------------------
+# exact binary-payload dedup — content dedup through the multimodal
+# plumbing (the "same image stored twice" case): payloads are grouped by
+# CONTENT, survivor = min media_id. The shuffle key is content-derived and
+# computed ZERO-COPY from the Arrow binary buffers (byte length + the
+# first 8 payload bytes as an int64), so equal payloads always co-locate
+# while the exchange ships only (doc_id, payload) once; the in-bucket
+# group-by compares full payload bytes (no hash collisions possible).
+# ---------------------------------------------------------------------------
+def q_media_dedup(sf_dir: str):
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from nfl_feature_store_ray.sources.readers import read_table
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      override_num_blocks=8)
+
+    def to_keyed(batch: pa.Table) -> pd.DataFrame:
+        payload = pc.cast(pc.coalesce(batch["text"], ""), pa.binary()).combine_chunks()
+        n = len(payload)
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset : payload.offset + n + 1
+        ].astype(np.int64)
+        flat = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+        sizes = np.diff(offsets)
+        # first 8 bytes, zero-padded, packed into one int64 — a pure
+        # function of content, so equal payloads share the key
+        take = np.minimum(sizes, 8)
+        idx = offsets[:-1, None] + np.arange(8)[None, :]
+        mask = np.arange(8)[None, :] < take[:, None]
+        pre = np.zeros((n, 8), dtype=np.uint8)
+        if flat.size:
+            pre[mask] = flat[np.minimum(idx, flat.size - 1)[mask]]
+        pfx = pre.view(np.uint64).ravel().astype(np.int64, copy=False)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(),
+             "n_bytes": sizes,
+             "pfx": pfx,
+             "payload": payload.to_pandas()}
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("payload", sort=False)["doc_id"]
+        canon = grp.transform("min").to_numpy()
+        n_copies = grp.transform("size").to_numpy()
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"],
+             "canonical_id": canon.astype("int64"),
+             "n_copies": n_copies.astype("int64"),
+             "is_canonical": g["doc_id"].to_numpy() == canon}
+        )
+
+    keyed = docs.map_batches(to_keyed, batch_format="pyarrow")
+    return map_conv_buckets(keyed, dedup, key=["n_bytes", "pfx"],
+                            sort_cols=["n_bytes", "pfx", "doc_id"],
+                            num_buckets=16)
+
+
+SQL_MEDIA_DEDUP = """
+WITH m AS (SELECT doc_id, encode(coalesce(text, '')) AS p FROM documents)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY p) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY p) AS n_copies,
+       doc_id = MIN(doc_id) OVER (PARTITION BY p) AS is_canonical
+FROM m
+"""
+
+QUERIES = {"media_stats": q_media_stats, "media_dedup": q_media_dedup}
+ORACLES = {"media_stats": SQL_MEDIA_STATS, "media_dedup": SQL_MEDIA_DEDUP}

@@ -358,37 +358,46 @@ _ROLLUP_DAY_SENTINEL = pd.Timestamp("1970-01-01")
 _ROLLUP_ROLE_SENTINEL = "(all)"
 
 
-def q_rollup_day_role(sf_dir: str):
+def _day_role_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (day, role) -> (n, integer cent sum) partial, shared by
+    the ROLLUP and CUBE lattices."""
+    df = df.assign(
+        day=df["ts"].astype("datetime64[us]").dt.floor("D"),
+        vc=np.rint(df["value"].to_numpy() * 100.0),
+    )
+    return df.groupby(["day", "role"], as_index=False).agg(
+        n=("vc", "size"), c=("vc", "sum")
+    )
+
+
+def _day_role_levels(g: pd.DataFrame) -> pd.DataFrame:
+    """In-bucket fine (lvl 0) + day-marginal (lvl 1) rows — complete per
+    bucket because whole days are co-located; shared by ROLLUP and CUBE."""
+    fine = g.groupby(["day", "role"], as_index=False)[["n", "c"]].sum()
+    fine["lvl"] = 0
+    day = fine.groupby("day", as_index=False)[["n", "c"]].sum()
+    day["role"] = _ROLLUP_ROLE_SENTINEL
+    day["lvl"] = 1
+    out = pd.concat([fine, day], ignore_index=True)
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out[["day", "role", "lvl", "n", "c"]]
+
+
+def _day_role_level_rows(sf_dir: str) -> pd.DataFrame:
+    """One finest-grain day shuffle -> bounded (lvl 0 + lvl 1) rows."""
     from nfl_feature_store_ray.sources.transcripts import transcripts_from_events
 
     tune_context()
     ts = transcripts_from_events(sf_dir)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
-            vc=np.rint(df["value"].to_numpy() * 100.0),
-        )
-        g = df.groupby(["day", "role"], as_index=False).agg(
-            n=("vc", "size"), c=("vc", "sum")
-        )
-        return g
-
-    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
-        fine = g.groupby(["day", "role"], as_index=False)[["n", "c"]].sum()
-        fine["lvl"] = 0
-        day = fine.groupby("day", as_index=False)[["n", "c"]].sum()
-        day["role"] = _ROLLUP_ROLE_SENTINEL
-        day["lvl"] = 1
-        out = pd.concat([fine, day], ignore_index=True)
-        out["day"] = out["day"].astype("datetime64[us]")
-        return out[["day", "role", "lvl", "n", "c"]]
-
-    partials = ts.map_batches(partial, batch_format="pandas")
-    levels = map_conv_buckets(
-        partials, bucket_final, key="day", sort_cols=["day", "role"], num_buckets=32
+    partials = ts.map_batches(_day_role_partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, _day_role_levels, key="day", sort_cols=["day", "role"],
+        num_buckets=32,
     ).to_pandas()  # bounded: one row per (day, role) + one per day
 
+
+def q_rollup_day_role(sf_dir: str):
+    levels = _day_role_level_rows(sf_dir)
     day_rows = levels[levels["lvl"] == 1]
     grand = pd.DataFrame(
         {
@@ -438,37 +447,7 @@ ORACLES["rollup_day_role"] = _rollup_sql()
 # GROUPING(day)*2 + GROUPING(role) exactly as DuckDB does.
 # ---------------------------------------------------------------------------
 def q_cube_day_role(sf_dir: str):
-    from nfl_feature_store_ray.sources.transcripts import transcripts_from_events
-
-    tune_context()
-    ts = transcripts_from_events(sf_dir)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
-            vc=np.rint(df["value"].to_numpy() * 100.0),
-        )
-        return df.groupby(["day", "role"], as_index=False).agg(
-            n=("vc", "size"), c=("vc", "sum")
-        )
-
-    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
-        # per day-bucket: the fine level and the day marginal (whole days
-        # are co-located, so both are complete here)
-        fine = g.groupby(["day", "role"], as_index=False)[["n", "c"]].sum()
-        fine["lvl"] = 0
-        day = fine.groupby("day", as_index=False)[["n", "c"]].sum()
-        day["role"] = _ROLLUP_ROLE_SENTINEL
-        day["lvl"] = 1
-        out = pd.concat([fine, day], ignore_index=True)
-        out["day"] = out["day"].astype("datetime64[us]")
-        return out[["day", "role", "lvl", "n", "c"]]
-
-    partials = ts.map_batches(partial, batch_format="pandas")
-    levels = map_conv_buckets(
-        partials, bucket_final, key="day", sort_cols=["day", "role"], num_buckets=32
-    ).to_pandas()  # bounded: (days x roles) + days rows
-
+    levels = _day_role_level_rows(sf_dir)  # shared with q_rollup_day_role
     fine = levels[levels["lvl"] == 0]
     role = fine.groupby("role", as_index=False)[["n", "c"]].sum()
     role["day"] = _ROLLUP_DAY_SENTINEL

@@ -801,9 +801,9 @@ EDIT_BLOCK_CHARS = 4
 EDIT_MAX_DIST = 8
 
 
-def _levenshtein_batch(strs: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
-    """Byte-level Levenshtein for pairs (strs[ia[k]], strs[ib[k]]), DP
-    vectorized over all pairs simultaneously."""
+def _byte_matrix(strs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 byte matrix (n, lmax) zero-padded + byte lengths, built with
+    one concat + one fancy-index scatter (shared by both DP kernels)."""
     enc = [s.encode("utf-8") for s in strs]
     lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
     lmax = int(lens.max()) if len(lens) else 0
@@ -814,6 +814,14 @@ def _levenshtein_batch(strs: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> np.n
         offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
         cols = np.arange(lens.sum()) - np.repeat(offs, lens)
         mat[rows, cols] = flat
+    return mat, lens
+
+
+def _levenshtein_batch(strs: np.ndarray, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Byte-level Levenshtein for pairs (strs[ia[k]], strs[ib[k]]), DP
+    vectorized over all pairs simultaneously."""
+    mat, lens = _byte_matrix(strs)
+    lmax = mat.shape[1]
     a, b = mat[ia], mat[ib]
     la, lb = lens[ia], lens[ib]
     npairs = len(ia)
@@ -856,16 +864,8 @@ def _levenshtein_batch_banded(
     band C_i[d] = D[i][i+d-tmax] instead of the full lb+1 columns — ~4x
     fewer vector ops at (L=72, tmax=8). Kernel pinned vs DuckDB in
     tests/test_dedup_quality.py (both regimes)."""
-    enc = [s.encode("utf-8") for s in strs]
-    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
-    lmax = int(lens.max()) if len(lens) else 0
-    mat = np.zeros((len(enc), lmax), dtype=np.uint8)
-    if lmax:
-        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
-        rows = np.repeat(np.arange(len(enc)), lens)
-        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        cols = np.arange(lens.sum()) - np.repeat(offs, lens)
-        mat[rows, cols] = flat
+    mat, lens = _byte_matrix(strs)
+    lmax = mat.shape[1]
     la, lb = lens[ia], lens[ib]
     out = np.full(len(ia), _BAND_INF, dtype=np.int64)
     # |la-lb| > tmax -> distance > tmax: skip the DP entirely

@@ -982,9 +982,10 @@ ORACLES["chunk_docs"] = SQL_CHUNK_DOCS
 # per-document token count, per (lang, source) stratum — the corpus
 # length-distribution shape check (is a source's length profile symmetric
 # or heavy-tailed?). Extends the exact-moments family (agg_variance /
-# w_zscore_day) to 3rd/4th moments: per-batch int64 partial power sums
-# (c <= ~100 tokens -> c^4 <= 1e8, overflow-free for ~9e10 docs per
-# partial), then a BOUNDED driver merge in PYTHON INTS (arbitrary
+# w_zscore_day) to 3rd/4th moments: per-batch partial power sums in int64
+# with an automatic Python-int (object) fallback whenever the batch's
+# longest document could wrap c^4 (a single ~55k-token doc already
+# exceeds int64), then a BOUNDED driver merge in PYTHON INTS (arbitrary
 # precision: S1^4 at corpus scale exceeds int64; DuckDB's HUGEINT is the
 # oracle-side counterpart). Central-moment numerators are exact integers:
 #   A = n*S2 - S1^2            (= n^2 * Var_pop)
@@ -1002,9 +1003,18 @@ def q_skew_tokens(sf_dir: str):
         c = np.where(
             t.str.len().to_numpy() > 0, t.str.count(" ").to_numpy() + 1, 0
         ).astype(np.int64)
+        # int64 power sums wrap silently once len(batch) * cmax^4 nears
+        # 2^63 (a single ~55k-token document already overflows c^4):
+        # switch the whole batch to Python-int (object) sums — exact at
+        # any document length, and only paid when long docs are present
+        cmax = int(c.max()) if len(c) else 0
+        if cmax and max(len(c), 1) * cmax**4 > 2**62:
+            co = c.astype(object)
+            cols = {"s1": co, "s2": co * co, "s3": co**3, "s4": co**4}
+        else:
+            cols = {"s1": c, "s2": c * c, "s3": c**3, "s4": c**4}
         d = pd.DataFrame(
-            {"lang": df["lang"], "source": df["source"],
-             "n": np.int64(1), "s1": c, "s2": c * c, "s3": c**3, "s4": c**4}
+            {"lang": df["lang"], "source": df["source"], "n": np.int64(1), **cols}
         )
         return d.groupby(["lang", "source"], as_index=False).sum()
 

@@ -2653,8 +2653,11 @@ def q_lag_k(sf_dir: str):
             {"conv_id": df["conv_id"],
              "turn_idx": cum.astype("int32"),
              "lag3_value": round_half_away(g["value"].shift(3).to_numpy(), 6),
+             # SQL LAG(v, 2, default) applies the default ONLY when the
+             # offset row does not exist (cum < 2) — a NULL value AT an
+             # existing offset row stays NULL (fillna would clobber it)
              "lag2_def": round_half_away(
-                 g["value"].shift(2).fillna(-1.0).to_numpy(), 6),
+                 np.where(cum < 2, -1.0, g["value"].shift(2).to_numpy()), 6),
              "lead2_value": round_half_away(g["value"].shift(-2).to_numpy(), 6),
              "nth2_value": round_half_away(nth2, 6)}
         )

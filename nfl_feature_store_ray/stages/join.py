@@ -2,29 +2,42 @@
 
 The reference's fact-fact joins are single-process ``pd.merge`` calls
 (`/root/reference/src/pumps/player_game.py:184-188,472-475`). The rebuild
-exposes ONE library entry point that uses Ray Data's native hash-shuffle
-join operator (``Dataset.join``, hash-partitions both sides on the key and
-joins each partition independently — the idiomatic Ray-Data path), with
-the partition count as the explicit scale knob: at 100 TB, size
+exposes ONE library entry point built on the repo's own hash-bucket
+cogroup spine: both sides are tagged, hash-partitioned on the join key
+with the SAME partitioner (``stages.bucketize.with_bucket``), unioned into
+ONE shuffle, and merged per bucket with the vectorized pandas merge. The
+partition count is the explicit scale knob: at 100 TB, size
 ``num_partitions`` so each partition's build side fits a worker's heap.
 
+Why not ``ray.data.Dataset.join``: Ray 2.49's native hash-shuffle join
+crashes (KeyError on the key column inside the acero per-partition join)
+whenever a hash partition receives ZERO rows from one side — reproduced
+with any input whose distinct-key count is below ``num_partitions``.
+The cogroup formulation is immune (an empty bucket simply yields no
+group) and reuses the battle-tested exchange every other operator rides.
+
 For joins already riding the conv_id spine, prefer the in-bucket cogroup
-(`bucketize.map_conv_buckets` with both sides tagged and unioned — see
-`state/asof.py`) which reuses the ONE existing shuffle; this helper is for
-standalone fact-fact joins on a fresh key.
+directly (`state/asof.py`) which reuses the ONE existing shuffle; this
+helper is for standalone fact-fact joins on a fresh key.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import ray.data
+
+from nfl_feature_store_ray.stages.bucketize import BUCKET_COL, with_bucket
+
+_SIDE_COL = "_jside"
 
 _HOW = {
     "inner": "inner",
-    "left": "left_outer",
-    "right": "right_outer",
-    "outer": "full_outer",
-    "semi": "left_semi",
-    "anti": "left_anti",
+    "left": "left",
+    "right": "right",
+    "outer": "outer",
+    "semi": "semi",
+    "anti": "anti",
 }
 
 
@@ -42,20 +55,95 @@ def equi_join(
 
     ``how`` accepts pandas-style names (inner/left/right/outer/semi/anti).
     Collision handling: colliding non-key columns get ``right_suffix`` on
-    the right side (and ``left_suffix`` on the left when given).
+    the right side (and ``left_suffix`` on the left when given). When the
+    key columns share names the output carries ONE key column (pandas
+    merge semantics); differently-named keys both survive (outer rows
+    null-fill the absent side, so consumers coalesce the two key columns).
     """
     if how not in _HOW:
         raise ValueError(f"unsupported join type: {how!r} (one of {sorted(_HOW)})")
     on_t = (on,) if isinstance(on, str) else tuple(on)
-    r_t = None if right_on is None else (
+    r_t = on_t if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on)
     )
-    return left.join(
-        right,
-        join_type=_HOW[how],
-        num_partitions=num_partitions,
-        on=on_t,
-        right_on=r_t,
-        left_suffix=left_suffix,
-        right_suffix=right_suffix,
+    if len(r_t) != len(on_t):
+        raise ValueError("right_on arity must match on")
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    same_keys = r_t == on_t
+
+    # pre-rename colliding right (and optionally left) NON-KEY columns so
+    # the tagged union frame has unique names; same-named key columns stay
+    # shared (one output column, both sides write it)
+    shared = (set(left_cols) & set(right_cols)) - (set(on_t) if same_keys else set())
+    r_rename = {c: c + right_suffix for c in shared if c not in r_t}
+    l_rename = {c: c + left_suffix for c in shared if left_suffix and c not in on_t}
+    left_out = [l_rename.get(c, c) for c in left_cols]
+    right_out = [r_rename.get(c, c) for c in right_cols]
+    # union frame columns: left's, then right's not already present
+    all_cols = left_out + [c for c in right_out if c not in left_out]
+
+    # schema types are pyarrow DataTypes for Arrow blocks, numpy dtypes for
+    # pandas blocks — normalize to pandas dtypes to undo union promotion
+    def _dtypes(schema, rename):
+        return {
+            rename.get(n, n): (t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t)
+            for n, t in zip(schema.names, schema.types)
+        }
+
+    left_dtypes = _dtypes(left_schema, l_rename)
+    right_dtypes = _dtypes(right_schema, r_rename)
+
+    def tag(side: int):
+        rename = l_rename if side == 0 else r_rename
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.rename(columns=rename)
+            batch = batch.reindex(columns=all_cols)
+            batch[_SIDE_COL] = np.int8(side)
+            return batch
+
+        return fn
+
+    lkey = [l_rename.get(c, c) for c in on_t]
+    rkey = [r_rename.get(c, c) for c in r_t]
+    l_tagged = with_bucket(
+        left.map_batches(tag(0), batch_format="pandas"), key=lkey, num_buckets=num_partitions
+    )
+    r_tagged = with_bucket(
+        right.map_batches(tag(1), batch_format="pandas"), key=rkey, num_buckets=num_partitions
+    )
+    both = l_tagged.union(r_tagged)
+
+    def _restore(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+        for c, dt in dtypes.items():
+            if c in df.columns and df[c].dtype != dt and not df[c].isna().any():
+                try:
+                    df[c] = df[c].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+        return df
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        is_left = group[_SIDE_COL].to_numpy() == 0
+        lf = _restore(group.loc[is_left, left_out].reset_index(drop=True), left_dtypes)
+        rf = _restore(group.loc[~is_left, right_out].reset_index(drop=True), right_dtypes)
+        if how in ("semi", "anti"):
+            # vectorized membership: indicator merge against the DEDUPED
+            # right keys keeps left multiplicity and stays C-path
+            probe = rf[rkey].drop_duplicates()
+            m = lf.merge(
+                probe, left_on=lkey, right_on=rkey, how="left", indicator=True
+            )
+            keep = (m["_merge"] == "both") if how == "semi" else (m["_merge"] == "left_only")
+            return m.loc[keep.to_numpy(), left_out].reset_index(drop=True)
+        if same_keys:
+            return lf.merge(rf, on=list(on_t), how=how)
+        return lf.merge(rf, left_on=lkey, right_on=rkey, how=how)
+
+    return both.groupby(BUCKET_COL).map_groups(
+        lambda g: merge_bucket(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
     )

@@ -70,3 +70,21 @@ def test_equi_join_different_key_names_and_unknown_how():
     with pytest.raises(ValueError):
         equi_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
                   on="k", how="cross")
+
+
+def test_equi_join_sparse_keys_many_partitions():
+    """Regression: fewer distinct keys than partitions left some hash
+    partitions empty, which crashed Ray 2.49's native Dataset.join
+    (KeyError on the key column inside acero). The cogroup formulation
+    must handle empty buckets, including on FULL OUTER."""
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "lv": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    right = pd.DataFrame({"rk": [1, 1, 2, 9], "rv": [10, 11, 20, 90]})
+    got = equi_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", right_on="rk", how="outer", num_partitions=16,
+    ).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk", how="outer")
+    assert len(got) == len(want) == 7
+    assert sorted(got["rv"].dropna()) == sorted(want["rv"].dropna())
+    # both dangling sides survive
+    assert got["k"].isna().sum() == 1 and got["rk"].isna().sum() == 3

@@ -225,3 +225,64 @@ def test_emb_fuzz_query_matches_oracle(name, emb_fuzz_dir):
     a = np.sort(rr.astype(str).agg("|".join, axis=1).to_numpy())
     b = np.sort(ss.astype(str).agg("|".join, axis=1).to_numpy())
     assert (a == b).all(), f"{name}: values differ"
+
+
+def test_skew_tokens_long_doc_no_overflow(tmp_path, ray_session):
+    """Regression: a ~60k-token document wraps c^4 in int64 (1.3e19 >
+    2^63); the partial must switch to exact Python-int sums and still
+    match the HUGEINT oracle."""
+    import duckdb
+
+    long_doc = " ".join(["w"] * 60000)
+    df = pd.DataFrame(
+        {"doc_id": range(3),
+         "text": [long_doc, " ".join(["x"] * 59000), "a b c"],
+         "lang": "en", "source": "s", "n_chars": 0}
+    )
+    d = tmp_path / "long"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet", index=False)
+    import __ray_entry__ as e
+
+    r = e.queries()["skew_tokens"](str(d))
+    r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    s = con.execute(e.oracle_sql()["skew_tokens"]).df()
+    cols = sorted(r.columns)
+    rr = r[cols].sort_values(cols).reset_index(drop=True)
+    ss = s[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rr, ss, check_dtype=False)
+
+
+def test_lag_default_null_value_semantics(tmp_path, ray_session):
+    """Regression: SQL LAG(v, 2, default) must return NULL (not the
+    default) when the offset row EXISTS but carries a NULL value."""
+    import duckdb
+
+    ev = pd.DataFrame(
+        {"event_id": range(6),
+         "ts": pd.date_range("2024-03-01", periods=6, freq="min").astype("datetime64[us]"),
+         "user_id": 1,
+         "event_type": "click",
+         "value": [1.0, None, 3.0, 4.0, None, 6.0],
+         "props": '{"k": 1}'}
+    )
+    d = tmp_path / "nullv"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet", index=False)
+    import __ray_entry__ as e
+
+    r = e.queries()["w_lag_k"](str(d))
+    r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    s = con.execute(e.oracle_sql()["w_lag_k"]).df()
+    cols = sorted(r.columns)
+    rr = r[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ss = s[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rr, ss, check_dtype=False)
+    # the NULL at turn 1 must surface as NULL at turn 3's lag2 (not -1)
+    assert np.isnan(rr.loc[3, "lag2_def"])

@@ -1164,3 +1164,64 @@ def q_sketch_cms(sf_dir: str):
 
 
 QUERIES["sketch_cms"] = q_sketch_cms  # rows-only (hash cells not SQL-portable)
+
+
+# ---------------------------------------------------------------------------
+# token co-occurrence counts — the embedding-prep statistic (word2vec /
+# GloVe-style corpus preprocessing): document-level co-occurrence counts
+# for the corpus top-COOC_K vocabulary. The vocabulary is the distributed
+# heavy-hitter pass broadcast once (like oov_rate); each batch emits
+# bounded (t1 < t2) pair-count partials (<= K^2 rows per batch); the
+# driver merge is O(K^2). Counting is document-level DISTINCT presence —
+# the standard binary co-occurrence variant, all-integer -> hash-exact.
+# (The float PMI consumers derive from these counts is ln()-dependent and
+# libm-divergent across engines, so the gate stays on the raw integers —
+# same precedent as lm_commonness/tfidf_terms.)
+# ---------------------------------------------------------------------------
+COOC_K = 12
+
+
+def q_cooccurrence(sf_dir: str):
+    import ray as _ray
+
+    vocab_ref = _ray.put(frozenset(top_tokens_df(sf_dir, COOC_K)["tok"]))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = _cached_set_get(vocab_ref)
+        df = df.reset_index(drop=True)
+        tok = df["text"].fillna("").str.lower().str.split(" ").explode()
+        tok = tok[tok.isin(vocab)]
+        d = tok.reset_index()
+        d.columns = ["doc", "tok"]
+        d = d.drop_duplicates()
+        p = d.merge(d, on="doc")
+        p = p[p["tok_x"] < p["tok_y"]]
+        return p.groupby(["tok_x", "tok_y"], as_index=False).agg(n=("doc", "size"))
+
+    parts = docs.map_batches(pairs, batch_format="pandas").to_pandas()
+    out = parts.groupby(["tok_x", "tok_y"], as_index=False)["n"].sum()
+    out.columns = ["t1", "t2", "n_docs"]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+SQL_COOCCURRENCE = f"""
+WITH v AS (
+  SELECT tok
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) u
+  GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT {COOC_K}
+),
+d AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM documents
+),
+f AS (SELECT d.doc_id, d.tok FROM d JOIN v ON d.tok = v.tok)
+SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS n_docs
+FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.tok < b.tok
+GROUP BY 1, 2
+"""
+
+QUERIES["cooccurrence"] = q_cooccurrence
+ORACLES["cooccurrence"] = SQL_COOCCURRENCE

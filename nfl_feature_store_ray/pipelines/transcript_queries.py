@@ -3151,3 +3151,54 @@ FROM p GROUP BY conv_id, session_id
 
 QUERIES["w_session_funnel"] = q_session_funnel
 ORACLES["w_session_funnel"] = SQL_SESSION_FUNNEL
+
+
+# ---------------------------------------------------------------------------
+# group-integrity train/val/test split — the leakage-safe 80/10/10 split
+# at CONVERSATION granularity: every turn of a conversation lands in the
+# same split because membership is a pure deterministic function of
+# conv_id (multiplicative-hash rank, the sample_stratified trick), never
+# of the row. Splitting by row instead would leak near-identical turns
+# of one conversation across train and eval — the classic contamination
+# bug this operator exists to prevent. Shuffle-free map; group integrity
+# is pinned by the fuzz suite's oracle compare plus a dedicated test.
+# ---------------------------------------------------------------------------
+SPLIT_MOD = 2_147_483_647
+SPLIT_MULT = 2_654_435_761
+
+
+def q_split_convs(sf_dir: str):
+    ts = _prune(transcripts_from_events(sf_dir), ["conv_id", "ts", "_seq"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        cid = df["conv_id"].astype("int64").to_numpy()
+        rk = ((cid % SPLIT_MOD) * SPLIT_MULT) % SPLIT_MOD
+        split = np.where(
+            rk < int(0.8 * SPLIT_MOD), "train",
+            np.where(rk < int(0.9 * SPLIT_MOD), "val", "test"),
+        )
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"],
+             "turn_idx": g.cumcount().astype("int32"),
+             "split": split}
+        )
+
+    return map_conv_buckets(ts, bucket_fn)
+
+
+SQL_SPLIT_CONVS = f"""{_T},
+r AS (
+  SELECT conv_id, turn_idx,
+         ((CAST(conv_id AS BIGINT) % {SPLIT_MOD}) * {SPLIT_MULT}) % {SPLIT_MOD} AS rk
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN rk < {int(0.8 * SPLIT_MOD)} THEN 'train'
+            WHEN rk < {int(0.9 * SPLIT_MOD)} THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+QUERIES["split_convs"] = q_split_convs
+ORACLES["split_convs"] = SQL_SPLIT_CONVS

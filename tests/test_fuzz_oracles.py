@@ -110,7 +110,7 @@ EVENT_QUERIES = [
     "agg_weighted_day", "w_lag_k", "w_hopping", "cube_day_role",
     "w_response_latency", "w_share_day", "w_pattern_count",
     "w_quartile_bucket", "dedup_consecutive", "agg_hour_profile", "agg_tool_set",
-    "w_session_funnel",
+    "w_session_funnel", "split_convs",
 ]
 
 

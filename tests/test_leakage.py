@@ -76,3 +76,16 @@ def test_prefix_determinism_phase_windows():
             part[c].to_numpy(float), ref[c].to_numpy(float), rtol=0, atol=0,
             equal_nan=True, err_msg=f"leak in {c}"
         )
+
+
+def test_split_convs_group_integrity(ray_session):
+    """Every conversation's turns land in exactly ONE split, and all three
+    splits are non-empty at sf0.01 (80/10/10 by conv hash)."""
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines.transcript_queries import q_split_convs
+
+    df = q_split_convs("/root/testdata/sf0.01").to_pandas()
+    per_conv = df.groupby("conv_id")["split"].nunique()
+    assert (per_conv == 1).all(), "a conversation spans multiple splits"
+    assert set(df["split"].unique()) == {"train", "val", "test"}

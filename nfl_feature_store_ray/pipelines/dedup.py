@@ -1016,3 +1016,124 @@ WHERE levenshtein(a.s, c.s) <= {EDIT_MAX_DIST}
 
 QUERIES["dedup_edit_distance"] = q_dedup_edit_distance
 ORACLES["dedup_edit_distance"] = SQL_DEDUP_EDIT_DISTANCE
+
+
+# ---------------------------------------------------------------------------
+# near-dup graph structure: per-node degree and triangle counts over the
+# edit-distance pair graph — the graph-analytics layer on top of the dedup
+# families (triangle-dense neighborhoods are template/boilerplate clusters
+# worth one canonical doc; wedge-only nodes are chain artifacts). Classic
+# two-round distributed algorithm: (1) edges shuffle on the LOWER endpoint
+# -> per-bucket wedge enumeration (neighbor-pair triu per pivot node),
+# (2) wedges + edges shuffle on the closing (b, c) key -> vectorized
+# membership match; triangle triples then fold into per-node counts.
+# Exact, all-integer -> SQL oracle is the same triple self-join. The usual
+# hazard (wedge fan-out on a high-degree pivot ~ d^2/2) is inherent to the
+# algorithm; the edge set itself is already block-capped upstream.
+# ---------------------------------------------------------------------------
+def q_graph_triangles(sf_dir: str):
+    edges = edit_distance_pairs(sf_dir, max_block=None)
+
+    # the edge list feeds three consumers (wedge pass, closing-edge pass,
+    # degree pass); pin it once — it is OUTPUT-sized (true near-dup pairs),
+    # not corpus-sized, so holding it in the object store is bounded
+    pruned = edges.map_batches(lambda df: df[["doc_a", "doc_b"]],
+                               batch_format="pandas").materialize()
+
+    def wedges_with_pivot(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b, outs_c = [], [], []
+        for a, idx in g.groupby("doc_a", sort=False).indices.items():
+            if len(idx) < 2:
+                continue
+            nb = np.sort(g["doc_b"].to_numpy()[idx])
+            iu, iv = np.triu_indices(len(nb), 1)
+            outs_a.append(np.full(len(iu), a, dtype=np.int64))
+            outs_b.append(nb[iu])
+            outs_c.append(nb[iv])
+        if not outs_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64"),
+                                 "is_edge": pd.Series([], dtype="int8")})
+        return pd.DataFrame({"a": np.concatenate(outs_a),
+                             "b": np.concatenate(outs_b),
+                             "c": np.concatenate(outs_c),
+                             "is_edge": np.int8(0)})
+
+    def close_with_pivot(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["is_edge"] == 0]
+        e = g[g["is_edge"] == 1][["b", "c"]].drop_duplicates()
+        closed = w.merge(e, on=["b", "c"], how="inner")
+        if not len(closed):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_tri": pd.Series([], dtype="int64")})
+        ids = np.concatenate([closed["a"].to_numpy(),
+                              closed["b"].to_numpy(),
+                              closed["c"].to_numpy()])
+        d = pd.DataFrame({"doc_id": ids, "n_tri": np.int64(1)})
+        return d.groupby("doc_id", as_index=False).sum()
+
+    wedge_p = map_conv_buckets(pruned, wedges_with_pivot, key="doc_a",
+                               sort_cols=["doc_a", "doc_b"], num_buckets=16)
+    edge_p = pruned.map_batches(
+        lambda df: pd.DataFrame({"a": np.int64(-1), "b": df["doc_a"],
+                                 "c": df["doc_b"], "is_edge": np.int8(1)}),
+        batch_format="pandas")
+    tri_nodes = map_conv_buckets(
+        wedge_p.union(edge_p), close_with_pivot, key=["b", "c"],
+        sort_cols=["b", "c", "is_edge"], num_buckets=16,
+    ).to_pandas()
+    tri = tri_nodes.groupby("doc_id", as_index=False)["n_tri"].sum() if len(
+        tri_nodes
+    ) else pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                         "n_tri": pd.Series([], dtype="int64")})
+
+    # degrees: both endpoints, partial counts + driver merge (bounded by
+    # nodes that have at least one edge)
+    deg_parts = pruned.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": np.concatenate([df["doc_a"].to_numpy(),
+                                       df["doc_b"].to_numpy()]),
+             "degree": np.int64(1)}
+        ).groupby("doc_id", as_index=False).sum(),
+        batch_format="pandas",
+    ).to_pandas()
+    deg = deg_parts.groupby("doc_id", as_index=False)["degree"].sum()
+    out = deg.merge(tri, on="doc_id", how="left")
+    out["degree"] = out["degree"].astype("int64")
+    out["n_tri"] = out["n_tri"].fillna(0).astype("int64")
+    return out
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX_CHARS}) AS s
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (SELECT doc_id, s, substr(s, 1, {EDIT_BLOCK_CHARS}) AS blk FROM d),
+e AS (
+  SELECT LEAST(a.doc_id, c.doc_id) AS x, GREATEST(a.doc_id, c.doc_id) AS y
+  FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+  WHERE levenshtein(a.s, c.s) <= {EDIT_MAX_DIST}
+),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b2, e2.y AS c2
+  FROM e e1 JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+            JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+),
+tn AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b2 FROM tri
+  UNION ALL SELECT c2 FROM tri
+),
+tc AS (SELECT doc_id, COUNT(*) AS n_tri FROM tn GROUP BY doc_id),
+dn AS (
+  SELECT x AS doc_id FROM e UNION ALL SELECT y FROM e
+),
+dc AS (SELECT doc_id, COUNT(*) AS degree FROM dn GROUP BY doc_id)
+SELECT dc.doc_id, dc.degree, COALESCE(tc.n_tri, 0) AS n_tri
+FROM dc LEFT JOIN tc USING (doc_id)
+"""
+
+QUERIES["graph_triangles"] = q_graph_triangles
+ORACLES["graph_triangles"] = SQL_GRAPH_TRIANGLES

@@ -24,7 +24,7 @@ DOC_QUERIES = [
     "dedup_ngram_jaccard", "dedup_clusters", "pack_sequences",
     "decontaminate", "curate_corpus", "media_stats", "oov_rate", "tfidf_terms",
     "hist_tokens", "lm_commonness", "redact_pii", "chunk_docs", "skew_tokens",
-    "dedup_edit_distance", "media_dedup", "cooccurrence",
+    "dedup_edit_distance", "media_dedup", "cooccurrence", "graph_triangles",
 ]
 
 

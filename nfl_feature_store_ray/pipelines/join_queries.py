@@ -377,6 +377,7 @@ ORACLES = {
 # result is exact, hence the plain semi-join SQL oracle.
 # ---------------------------------------------------------------------------
 _BLOOM_M = 1 << 18  # bits (32 KiB packed) — sized for ~10k keys at k=2
+_BLOOM_SHIFT = 64 - (_BLOOM_M.bit_length() - 1)  # top log2(M) bits -> [0, M)
 _BLOOM_K_MULT = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)  # splitmix64 / xxh64 odd constants
 
 
@@ -385,7 +386,7 @@ def _bloom_positions(keys: np.ndarray) -> list[np.ndarray]:
     k = keys.astype(np.uint64)
     out = []
     for mult in _BLOOM_K_MULT:
-        h = (k * np.uint64(mult)) >> np.uint64(64 - 18)  # top 18 bits -> [0, M)
+        h = (k * np.uint64(mult)) >> np.uint64(_BLOOM_SHIFT)  # derived from M
         out.append(h.astype(np.int64))
     return out
 

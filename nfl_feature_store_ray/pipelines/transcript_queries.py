@@ -34,6 +34,29 @@ _T = f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
 _W = "PARTITION BY conv_id ORDER BY ts, _seq"
 
 
+
+def _daily_value_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (day, conv) raw-float value sums (rank-family partial:
+    the 6dp rounding happens once at the bucket final)."""
+    df["day"] = df["ts"].dt.floor("D")
+    return (
+        df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
+            columns={"value": "day_value"}
+        )
+    )
+
+
+def _daily_cents_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (day, conv) EXACT integer-cent sums (order-independent;
+    shared by the zscore/percent-rank/share/quartile family)."""
+    d = pd.DataFrame(
+        {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
+         "conv_id": df["conv_id"],
+         "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+    )
+    return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+
+
 def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     df = df.copy()  # callers pass column slices; don't mutate views
     for c in cols:
@@ -257,14 +280,6 @@ def q_rank_day(sf_dir: str):
     """
     ts = transcripts_from_events(sf_dir)
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["day"] = df["ts"].dt.floor("D")
-        return (
-            df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
-                columns={"value": "day_value"}
-            )
-        )
-
     def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
         # whole days per bucket: final-sum the partials, then rank per day
         d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
@@ -278,7 +293,7 @@ def q_rank_day(sf_dir: str):
 
     # per-batch partial aggregation, then ONE bucket shuffle on the day key
     # (W9 needs all conversations' values per time bucket co-located)
-    partials = ts.map_batches(day_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_rank, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
@@ -1596,14 +1611,6 @@ def q_zscore_day(sf_dir: str):
     the SQL (each step correctly rounded -> hash-exact)."""
     ts = transcripts_from_events(sf_dir)
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = pd.DataFrame(
-            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
-             "conv_id": df["conv_id"],
-             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
-        )
-        return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
-
     def zscore(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
         xc = d["xc"].to_numpy(np.int64)
@@ -1625,7 +1632,7 @@ def q_zscore_day(sf_dir: str):
              "z_day": round_half_away(z, 6)}
         )
 
-    partials = ts.map_batches(day_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(partials, zscore, key="day",
                             sort_cols=["day", "conv_id"], num_buckets=32)
 
@@ -1739,14 +1746,6 @@ ORACLES["w_cummax"] = SQL_CUMMAX
 def q_percent_rank_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = pd.DataFrame(
-            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
-             "conv_id": df["conv_id"],
-             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
-        )
-        return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
-
     def prank(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
         d["day_value"] = round_half_away(d["xc"].to_numpy(np.int64) / 100.0, 6)
@@ -1763,7 +1762,7 @@ def q_percent_rank_day(sf_dir: str):
              "pct_rank": round_half_away(pr, 6)}
         )
 
-    partials = ts.map_batches(day_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(partials, prank, key="day",
                             sort_cols=["day", "conv_id"], num_buckets=32)
 
@@ -1959,14 +1958,6 @@ ORACLES["w_asof_forward"] = SQL_ASOF_FORWARD
 def q_ntile_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["day"] = df["ts"].dt.floor("D")
-        return (
-            df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
-                columns={"value": "day_value"}
-            )
-        )
-
     B = 4
 
     def bucket_ntile(g: pd.DataFrame) -> pd.DataFrame:
@@ -1989,7 +1980,7 @@ def q_ntile_day(sf_dir: str):
         d["day"] = d["day"].astype("datetime64[us]")
         return d
 
-    partials = ts.map_batches(day_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_ntile, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
@@ -2062,15 +2053,23 @@ ORACLES["w_conv_text"] = SQL_CONV_TEXT
 # (verified over 2000 randomized histograms; q=0.9's inexact frac already
 # drifts an ulp).
 # ---------------------------------------------------------------------------
+def _day_cents_hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (day, cents) -> count partial, shared by percentile_day
+    and w_mad_day. NULL values are DROPPED before the int cast (NaN would
+    wrap to INT64_MIN, a garbage first bin) — matching the oracles'
+    quantile/median/mad NULL-skip semantics; n therefore counts non-null
+    values only (COUNT(vc)) on both sides."""
+    v = df["value"].to_numpy(dtype="float64")
+    m = ~np.isnan(v)
+    d = pd.DataFrame(
+        {"day": df["ts"].astype("datetime64[us]").dt.floor("D")[m],
+         "vc": np.rint(v[m] * 100.0).astype(np.int64)}
+    )
+    return d.groupby(["day", "vc"], as_index=False).agg(cnt=("vc", "size"))
+
+
 def q_percentile_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
-
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
-            vc=np.rint(df["value"].to_numpy() * 100.0).astype(np.int64),
-        )
-        return df.groupby(["day", "vc"], as_index=False).agg(cnt=("vc", "size"))
 
     def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
         h = g.groupby(["day", "vc"], as_index=False)["cnt"].sum()
@@ -2095,7 +2094,7 @@ def q_percentile_day(sf_dir: str):
         out["n"] = out["n"].astype("int64")
         return out[["day", "n", "p25", "p50", "p75"]]
 
-    partials = ts.map_batches(hist_partial, batch_format="pandas")
+    partials = ts.map_batches(_day_cents_hist_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_final, key="day", sort_cols=["day", "vc"], num_buckets=32
     )
@@ -2103,7 +2102,7 @@ def q_percentile_day(sf_dir: str):
 
 SQL_PERCENTILE_DAY = f"""{_T},
 c AS (SELECT date_trunc('day', ts) AS day, ROUND(value * 100) AS vc FROM t)
-SELECT day, COUNT(*) AS n,
+SELECT day, COUNT(vc) AS n,
        ROUND(quantile_cont(vc, 0.25) / 100.0, 6) AS p25,
        ROUND(quantile_cont(vc, 0.50) / 100.0, 6) AS p50,
        ROUND(quantile_cont(vc, 0.75) / 100.0, 6) AS p75
@@ -2316,13 +2315,6 @@ def _hist_median(vals: np.ndarray, cnts: np.ndarray) -> float:
 def q_mad_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            day=df["ts"].astype("datetime64[us]").dt.floor("D"),
-            vc=np.rint(df["value"].to_numpy() * 100.0).astype(np.int64),
-        )
-        return df.groupby(["day", "vc"], as_index=False).agg(cnt=("vc", "size"))
-
     def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
         h = g.groupby(["day", "vc"], as_index=False)["cnt"].sum()
         h = h.sort_values(["day", "vc"], kind="mergesort")
@@ -2354,7 +2346,7 @@ def q_mad_day(sf_dir: str):
         out["n_outliers"] = out["n_outliers"].astype("int64")
         return out
 
-    partials = ts.map_batches(hist_partial, batch_format="pandas")
+    partials = ts.map_batches(_day_cents_hist_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_final, key="day", sort_cols=["day", "vc"], num_buckets=32
     )
@@ -2362,7 +2354,7 @@ def q_mad_day(sf_dir: str):
 
 SQL_MAD_DAY = f"""{_T},
 c AS (SELECT date_trunc('day', ts) AS day, ROUND(value * 100) AS vc FROM t),
-m AS (SELECT day, median(vc) AS medc, mad(vc) AS madc, COUNT(*) AS n FROM c GROUP BY day)
+m AS (SELECT day, median(vc) AS medc, mad(vc) AS madc, COUNT(vc) AS n FROM c GROUP BY day)
 SELECT m.day, m.n,
        ROUND(m.medc / 100.0, 6) AS med,
        ROUND(m.madc / 100.0, 6) AS mad,
@@ -2387,14 +2379,6 @@ ORACLES["w_mad_day"] = SQL_MAD_DAY
 def q_cume_dist_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["day"] = df["ts"].dt.floor("D")
-        return (
-            df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
-                columns={"value": "day_value"}
-            )
-        )
-
     def bucket_cume(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
         d["day_value"] = round_half_away(d["day_value"], 6)
@@ -2417,7 +2401,7 @@ def q_cume_dist_day(sf_dir: str):
         d["day"] = d["day"].astype("datetime64[us]")
         return d
 
-    partials = ts.map_batches(day_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_cume, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
@@ -2450,14 +2434,6 @@ TOPK_PER_DAY = 3
 def q_topk_per_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["day"] = df["ts"].dt.floor("D")
-        return (
-            df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
-                columns={"value": "day_value"}
-            )
-        )
-
     def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
         d["day_value"] = round_half_away(d["day_value"], 6)
@@ -2469,7 +2445,7 @@ def q_topk_per_day(sf_dir: str):
         d["day"] = d["day"].astype("datetime64[us]")
         return d
 
-    partials = ts.map_batches(day_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_top, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
@@ -2511,10 +2487,14 @@ def q_first_value(sf_dir: str):
         new_conv = np.concatenate([[True], conv[1:] != conv[:-1]])
         gap = g["ts"].astype("datetime64[us]").astype("int64").diff().to_numpy() / 1e6
         new_sess = new_conv | (gap > SESSION_GAP_S)
-        sess_id = new_sess.cumsum()  # global session id within bucket
         v = g["value"].to_numpy()
-        conv_first = pd.Series(v).groupby(conv, sort=False).transform("first")
-        sess_first = pd.Series(v).groupby(sess_id, sort=False).transform("first")
+        # POSITIONAL first (SQL FIRST_VALUE semantics): the first ROW's
+        # value even when NULL — pandas transform('first') skips NULLs,
+        # which diverges on a NULL-valued first turn. Gather at the running
+        # maximum of the group-start indices instead.
+        idx = np.arange(len(g))
+        conv_first = v[np.maximum.accumulate(np.where(new_conv, idx, -1))]
+        sess_first = v[np.maximum.accumulate(np.where(new_sess, idx, -1))]
         # sticky tool: last non-null tool at or before this turn, per conv
         tool_ff = g.groupby("conv_id", sort=False)["tool"].ffill()
         tool_ff = tool_ff.astype(object).where(tool_ff.notna(), None)
@@ -2522,8 +2502,8 @@ def q_first_value(sf_dir: str):
             {
                 "conv_id": g["conv_id"],
                 "turn_idx": g.groupby("conv_id", sort=False).cumcount().astype("int32"),
-                "conv_first_value": round_half_away(conv_first.to_numpy(), 6),
-                "session_first_value": round_half_away(sess_first.to_numpy(), 6),
+                "conv_first_value": round_half_away(conv_first, 6),
+                "session_first_value": round_half_away(sess_first, 6),
                 "sticky_tool": tool_ff,
             }
         )
@@ -2812,14 +2792,6 @@ ORACLES["w_response_latency"] = SQL_RESPONSE_LATENCY
 def q_share_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = pd.DataFrame(
-            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
-             "conv_id": df["conv_id"],
-             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
-        )
-        return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
-
     def share(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
         tot = d.groupby("day", sort=False)["xc"].transform("sum").to_numpy(np.int64)
@@ -2832,7 +2804,7 @@ def q_share_day(sf_dir: str):
              "share_day": round_half_away(sh, 6)}
         )
 
-    partials = ts.map_batches(day_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(partials, share, key="day",
                             sort_cols=["day", "conv_id"], num_buckets=32)
 
@@ -2912,14 +2884,6 @@ ORACLES["w_pattern_count"] = SQL_PATTERN_COUNT
 def q_quartile_bucket(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = pd.DataFrame(
-            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
-             "conv_id": df["conv_id"],
-             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
-        )
-        return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
-
     def bucketize(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
         xc = d["xc"].to_numpy(np.int64)
@@ -2936,7 +2900,7 @@ def q_quartile_bucket(sf_dir: str):
              "q_bucket": bucket}
         )
 
-    partials = ts.map_batches(day_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(partials, bucketize, key="day",
                             sort_cols=["day", "conv_id"], num_buckets=32)
 

@@ -96,6 +96,11 @@ def with_bucket(
         if heavy_keys and isinstance(key, str):
             hot = k.map(heavy_keys)
             b = b.where(hot.isna(), (hot + num_buckets)).astype("int32")
+        if BUCKET_COL in batch.column_names:
+            # re-bucketing an already-bucketed table must OVERWRITE (the
+            # old pandas path's batch[col] = b semantics); append_column
+            # would create a duplicate field and break the groupby
+            batch = batch.drop_columns([BUCKET_COL])
         return batch.append_column(BUCKET_COL, pa.array(b.to_numpy(), pa.int32()))
 
     return ds.map_batches(add, batch_format="pyarrow")

@@ -286,3 +286,44 @@ def test_lag_default_null_value_semantics(tmp_path, ray_session):
     pd.testing.assert_frame_equal(rr, ss, check_dtype=False)
     # the NULL at turn 1 must surface as NULL at turn 3's lag2 (not -1)
     assert np.isnan(rr.loc[3, "lag2_def"])
+
+
+def test_null_value_histogram_and_first_value(tmp_path, ray_session):
+    """Regression trio: NULL values must be (a) skipped by the cents
+    histograms (NaN->int64 would make a garbage INT64_MIN bin), and
+    (b) RETURNED by FIRST_VALUE when the first row's value is NULL
+    (pandas transform('first') would skip it)."""
+    import duckdb
+
+    ev = pd.DataFrame(
+        {"event_id": range(8),
+         "ts": pd.date_range("2024-04-01", periods=8, freq="h").astype("datetime64[us]"),
+         "user_id": [1, 1, 1, 1, 2, 2, 2, 2],
+         "event_type": "click",
+         "value": [None, 2.0, 3.0, 4.0, 5.0, None, 7.0, 8.0],
+         "props": '{"k": 1}'}
+    )
+    d = tmp_path / "nullhist"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet", index=False)
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    for name in ("percentile_day", "w_mad_day", "w_first_value"):
+        r = e.queries()[name](str(d))
+        r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+        s = con.execute(e.oracle_sql()[name]).df()
+        cols = sorted(r.columns)
+        assert cols == sorted(s.columns), name
+        rr = r[cols].sort_values(cols).reset_index(drop=True)
+        ss = s[cols].sort_values(cols).reset_index(drop=True)
+        for c in cols:
+            if rr[c].dtype.kind == "M":
+                rr[c] = rr[c].astype("datetime64[us]")
+            if ss[c].dtype.kind == "M":
+                ss[c] = ss[c].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(rr, ss, check_dtype=False)
+    # conv 1's first value is NULL -> conv_first_value must be NULL everywhere
+    fv = e.queries()["w_first_value"](str(d)).to_pandas()
+    assert fv.loc[fv["conv_id"] == "1", "conv_first_value"].isna().all()

@@ -55,11 +55,15 @@ def q_join_enrich(sf_dir: str):
         sf_dir, "orders", columns=["o_custkey", "o_totalprice"], override_num_blocks=8
     )
 
-    # task-pool closure: per-batch ray.get of a pandas frame is a plasma
-    # read (Arrow-backed, cheap); a fresh actor pool costs ~1-2s spin-up
-    # per query invocation for state this small
+    # task-pool closure (a fresh actor pool costs ~1-2s spin-up per query
+    # invocation for state this small), but fetch through the per-process
+    # broadcast cache: a bare ray.get of a pickled pandas frame would
+    # re-unpickle the dim table on EVERY batch (plasma zero-copies only
+    # numpy/Arrow buffers)
+    from nfl_feature_store_ray.functions.broadcast import cached_object_get
+
     def enrich(df: pd.DataFrame) -> pd.DataFrame:
-        dim = ray.get(dim_ref)
+        dim = cached_object_get(dim_ref)
         m = df.merge(dim, left_on="o_custkey", right_on="c_custkey", how="left")
         return m.groupby("n_name", as_index=False).agg(
             total_revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")

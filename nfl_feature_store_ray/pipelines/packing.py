@@ -136,22 +136,9 @@ FROM c
 DECON_K = 13          # GPT-3 decontamination n-gram size (public appendix)
 DECON_EVAL_MOD = 97   # docs with doc_id % 97 == 0 stand in for the eval set
 
-_GRAM_CACHE: dict = {}
-
-
-def _cached_gram_get(ref):
-    """Per-worker-process cache of the broadcast eval-gram set: plasma
-    zero-copies only numpy buffers, so a bare ray.get would re-unpickle
-    the whole frozenset on every batch. Holds at most one set."""
-    import ray as _ray
-
-    key = ref.hex()
-    v = _GRAM_CACHE.get(key)
-    if v is None:
-        v = _ray.get(ref)
-        _GRAM_CACHE.clear()
-        _GRAM_CACHE[key] = v
-    return v
+# per-worker-process broadcast cache (shared helper: a bare per-batch
+# ray.get re-unpickles the whole frozenset on every batch)
+from nfl_feature_store_ray.functions.broadcast import cached_object_get as _cached_gram_get
 
 
 def contamination_mask(texts: pd.Series, grams: frozenset) -> np.ndarray:

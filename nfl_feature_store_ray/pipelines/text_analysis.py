@@ -492,22 +492,9 @@ ORACLES["sample_stratified"] = SQL_SAMPLE_STRATIFIED
 # ---------------------------------------------------------------------------
 OOV_VOCAB_K = 32
 
-_SET_CACHE: dict = {}
-
-
-def _cached_set_get(ref):
-    """Per-worker-process cache of a broadcast frozenset (same rationale as
-    packing._cached_gram_get: plasma zero-copies only numpy buffers, so a
-    bare per-batch ray.get would re-unpickle the set on every batch)."""
-    import ray as _ray
-
-    key = ref.hex()
-    v = _SET_CACHE.get(key)
-    if v is None:
-        v = _ray.get(ref)
-        _SET_CACHE.clear()
-        _SET_CACHE[key] = v
-    return v
+# per-worker-process broadcast cache (shared helper — one deserialization
+# per worker, not per batch)
+from nfl_feature_store_ray.functions.broadcast import cached_object_get as _cached_set_get
 
 
 def q_oov_rate(sf_dir: str):

@@ -1146,6 +1146,11 @@ def dd_quantiles_from_buckets(
     rows = []
     sentinel = np.iinfo(np.int64).min
     for q in quantiles:
+        if n == 0:
+            # typed empty-input result, not an IndexError on the empty
+            # bucket array (zero-row inputs reach this through the gate)
+            rows.append({"q": q, "est": np.nan, "n": 0})
+            continue
         rank = max(1, int(np.ceil(q * n)))
         pos = int(np.searchsorted(cum, rank))
         bi = b[pos]
@@ -1363,12 +1368,17 @@ def q_turn_overlap(sf_dir: str):
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
         n = len(g)
-        if n == 0:  # typed empty frame (np.concatenate below assumes n >= 1)
-            return pd.DataFrame(
-                {"conv_id": pd.Series([], dtype=object),
-                 "turn_idx": pd.Series([], dtype="int32"),
-                 "jac_prev": pd.Series([], dtype="float64"),
-                 "is_repeat": pd.Series([], dtype="float64")}
+        if n == 0:  # typed ARROW empty (np.concatenate below assumes n >= 1;
+            # a zero-row object column would become an Arrow null-typed
+            # field and trip block-size estimation / schema unification —
+            # same fix as incremental.py / packing.eval_gram_set)
+            import pyarrow as _pa
+
+            return _pa.table(
+                {"conv_id": _pa.array([], _pa.string()),
+                 "turn_idx": _pa.array([], _pa.int32()),
+                 "jac_prev": _pa.array([], _pa.float64()),
+                 "is_repeat": _pa.array([], _pa.float64())}
             )
         low = g["text"].fillna("").str.lower()
         tok = low.str.split(" ").explode()
@@ -1711,8 +1721,21 @@ def q_cummax(sf_dir: str):
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
         grp = g.groupby("conv_id", sort=False)
-        mx = grp["value"].cummax().groupby(g["conv_id"], sort=False).shift(1)
-        mn = grp["value"].cummin().groupby(g["conv_id"], sort=False).shift(1)
+        # ∓inf mask fill: pandas cummax/cummin emit NaN AT NaN positions
+        # instead of carrying the running extreme through them, while the
+        # SQL MAX/MIN window ignores NULLs; ±inf survives only while no
+        # non-null value has been seen -> back to NULL, matching SQL
+        v = g["value"]
+        mx = (
+            v.fillna(-np.inf).groupby(g["conv_id"], sort=False).cummax()
+            .groupby(g["conv_id"], sort=False).shift(1)
+        )
+        mn = (
+            v.fillna(np.inf).groupby(g["conv_id"], sort=False).cummin()
+            .groupby(g["conv_id"], sort=False).shift(1)
+        )
+        mx = mx.where(np.isfinite(mx))
+        mn = mn.where(np.isfinite(mn))
         turn_idx = grp.cumcount().astype("int32")
         return pd.DataFrame(
             {"conv_id": g["conv_id"], "turn_idx": turn_idx,

@@ -62,21 +62,34 @@ def window_features_incremental(
     import json
 
     meta_path = os.path.join(state_dir, "_incremental_meta.json")
-    meta = {"n_partitions": len(paths), "metrics": list(metrics),
-            "phases": list(phases)}
+    # pin the partition NAME SET, not just the count: a re-bucketed layout
+    # can keep the same number of non-empty files under different names
+    # (state misses -> silent re-emission), and a valid append can grow the
+    # count by filling a previously-empty bucket... but a NEW name whose
+    # state file doesn't exist yet is handled (done={}), so new names may
+    # only be ADDED, never change existing ones
+    meta = {"partitions": sorted(os.path.basename(p) for p in paths),
+            "metrics": list(metrics), "phases": list(phases)}
+    def _compatible(prev: dict, cur: dict) -> bool:
+        if prev.get("metrics") != cur["metrics"] or prev.get("phases") != cur["phases"]:
+            return False
+        prev_parts = prev.get("partitions")
+        if prev_parts is None:  # legacy count-only meta: force rebuild
+            return False
+        return set(prev_parts) <= set(cur["partitions"])
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             prev_meta = json.load(f)
-        if prev_meta != meta:
+        if not _compatible(prev_meta, meta):
             raise ValueError(
                 f"incremental state at {state_dir} was checkpointed with "
-                f"{prev_meta}, current run has {meta} — partition count and "
+                f"{prev_meta}, current run has {meta} — the partition name "
+                "set may only grow (appends into new buckets) and the "
                 "feature config must stay fixed across incremental runs "
                 "(rebuild the state dir to change them)"
             )
-    else:
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
 
     def process(df: pd.DataFrame) -> pd.DataFrame:
         # one block per partition file (include_paths read below)

@@ -97,5 +97,5 @@ def test_incremental_rejects_changed_partition_count():
         transform=sort_partition, num_buckets=3,  # changed bucket count
         fingerprint_cols=["conv_id", "turn_idx"],
     )
-    with pytest.raises(ValueError, match="partition count"):
+    with pytest.raises(ValueError, match="partition name set"):
         window_features_incremental(PART, STATE, metrics=METRICS).count()

@@ -1212,3 +1212,99 @@ GROUP BY 1, 2
 
 QUERIES["cooccurrence"] = q_cooccurrence
 ORACLES["cooccurrence"] = SQL_COOCCURRENCE
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap: pairwise Jaccard similarity between the
+# DISTINCT-token vocabularies of every pair of document sources — the
+# corpus-mixing diagnostic used when blending web-scale training sources
+# (how much does source A's vocabulary overlap source B's?). Scale shape:
+# set similarity WITHOUT a cross join — per-batch distinct (source, token)
+# partials, ONE token-keyed shuffle, and a per-bucket inverted-index
+# self-merge (each token contributes |sources-containing-it|^2 <= |S|^2
+# pair rows, never |V_a| x |V_b|); per-source sizes and pair intersections
+# ride the same shuffle, and the driver merge is O(|S|^2) rows. Zero-
+# intersection pairs are emitted too (from the size rows), so the output
+# is the full pair lattice. NULL text ≡ '' (one empty-string token), the
+# token_counts convention.
+# ---------------------------------------------------------------------------
+def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        tok = df["text"].fillna("").str.lower().str.split(" ").explode()
+        return pd.DataFrame(
+            {"source": df["source"].to_numpy()[tok.index.to_numpy(np.int64)],
+             "tok": tok.to_numpy()}
+        ).drop_duplicates()
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["source", "tok"])
+        sizes = d.groupby("source", as_index=False).agg(cnt=("tok", "size"))
+        p = d.merge(d, on="tok")
+        p = p[p["source_x"] < p["source_y"]]
+        inter = p.groupby(["source_x", "source_y"], as_index=False).agg(
+            cnt=("tok", "size")
+        )
+        return pd.concat(
+            [
+                pd.DataFrame({"sa": sizes["source"], "sb": sizes["source"],
+                              "cnt": sizes["cnt"]}),
+                pd.DataFrame({"sa": inter["source_x"], "sb": inter["source_y"],
+                              "cnt": inter["cnt"]}),
+            ],
+            ignore_index=True,
+        )
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    per_bucket = map_conv_buckets(parts, bucket_pairs, key="tok",
+                                  sort_cols=["tok"], num_buckets=16)
+    m = per_bucket.to_pandas().groupby(["sa", "sb"], as_index=False)["cnt"].sum()
+    sizes = {r.sa: int(r.cnt) for r in m[m["sa"] == m["sb"]].itertuples()}
+    inter = {(r.sa, r.sb): int(r.cnt) for r in m[m["sa"] != m["sb"]].itertuples()}
+    rows = []
+    srcs = sorted(sizes)
+    for i, a in enumerate(srcs):  # |S|^2 driver rows — sources are a handful
+        for b in srcs[i + 1:]:
+            iv = inter.get((a, b), 0)
+            un = sizes[a] + sizes[b] - iv
+            rows.append(
+                {"source_a": a, "source_b": b, "inter_size": iv, "union_size": un,
+                 "jaccard": round_half_away(np.float64(iv * 1.0 / un), 6)}
+            )
+    out = pd.DataFrame(rows)
+    out["inter_size"] = out["inter_size"].astype("int64")
+    out["union_size"] = out["union_size"].astype("int64")
+    return out
+
+
+SQL_VOCAB_OVERLAP = """
+WITH e AS (
+  SELECT source, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM documents
+),
+v AS (SELECT DISTINCT source, tok FROM e),
+sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+pr AS (SELECT a.source AS source_a, b.source AS source_b
+       FROM sz a JOIN sz b ON a.source < b.source),
+io AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter_size
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT pr.source_a, pr.source_b,
+       CAST(COALESCE(io.inter_size, 0) AS BIGINT) AS inter_size,
+       CAST(za.n + zb.n - COALESCE(io.inter_size, 0) AS BIGINT) AS union_size,
+       ROUND(COALESCE(io.inter_size, 0) * 1.0
+             / (za.n + zb.n - COALESCE(io.inter_size, 0)), 6) AS jaccard
+FROM pr
+LEFT JOIN io ON io.source_a = pr.source_a AND io.source_b = pr.source_b
+JOIN sz za ON za.source = pr.source_a
+JOIN sz zb ON zb.source = pr.source_b
+"""
+
+QUERIES["vocab_overlap"] = q_vocab_overlap
+ORACLES["vocab_overlap"] = SQL_VOCAB_OVERLAP

@@ -3189,3 +3189,180 @@ FROM r
 
 QUERIES["split_convs"] = q_split_convs
 ORACLES["split_convs"] = SQL_SPLIT_CONVS
+
+
+# ---------------------------------------------------------------------------
+# Rolling MODE over a bounded domain: most frequent role in the trailing
+# 5-turn window (4 PRECEDING..CURRENT ROW) per conversation — the windowed
+# categorical-mode family (A2/A5/A8's deterministic mode, windowed). The
+# role domain is exactly {assistant, tool, user}, so the kernel keeps ONE
+# rolling count per value (shifted-indicator sums with conversation-
+# boundary masking — no sort-within-window, no hash map) and argmax with
+# the pinned tie rule (count DESC, role ASC; np.argmax returns the first
+# maximum, and the rows are ordered role-ascending). At 100 TB this is the
+# right mode shape whenever the domain is bounded; unbounded domains go
+# through the heavy-hitter sketch instead.
+# ---------------------------------------------------------------------------
+ROLLING_MODE_W = 5
+_MODE_ROLES = ("assistant", "tool", "user")  # ascending = tie priority
+
+
+def q_rolling_mode(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "role"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        codes = pd.factorize(g["conv_id"])[0].astype(np.int64)
+        role = g["role"].to_numpy()
+        counts = np.zeros((len(_MODE_ROLES), n), dtype=np.int64)
+        for ri, r in enumerate(_MODE_ROLES):
+            ind = (role == r).astype(np.int64)
+            c = ind.copy()
+            for k in range(1, ROLLING_MODE_W):
+                if n > k:
+                    c[k:] += ind[:-k] * (codes[k:] == codes[:-k])
+            counts[ri] = c
+        pick = counts.argmax(axis=0)
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "mode_role": np.array(_MODE_ROLES, dtype=object)[pick],
+             "mode_cnt": counts.max(axis=0)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_ROLLING_MODE = f"""{_T},
+c AS (
+  SELECT conv_id, turn_idx,
+         SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) OVER w AS ca,
+         SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) OVER w AS ct,
+         SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w AS cu
+  FROM t
+  WINDOW w AS ({_W} ROWS BETWEEN {ROLLING_MODE_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN ca >= ct AND ca >= cu THEN 'assistant'
+            WHEN ct >= cu THEN 'tool' ELSE 'user' END AS mode_role,
+       CAST(GREATEST(ca, ct, cu) AS BIGINT) AS mode_cnt
+FROM c
+"""
+
+QUERIES["w_rolling_mode"] = q_rolling_mode
+ORACLES["w_rolling_mode"] = SQL_ROLLING_MODE
+
+
+# ---------------------------------------------------------------------------
+# NEAREST as-of join — completes the direction family (backward =
+# asof_daily, forward = w_asof_forward, toleranced = asof_tolerance).
+# Each turn is stamped with its conversation's day summary whose
+# availability time is CLOSEST to the turn in either direction, with the
+# equal-distance tie pinned to backward inside the bucket kernel
+# (state/asof.py) — the "closest checkpoint" annotation-attachment
+# pattern. SQL = both-direction ASOF joins + a distance CASE, exactly the
+# kernel's pick rule.
+# ---------------------------------------------------------------------------
+def q_asof_nearest(sf_dir: str):
+    from nfl_feature_store_ray.state.asof import asof_join
+
+    left, right = _asof_daily_sides(sf_dir, side_col="near_day_value")
+    joined = asof_join(
+        left, right, key="conv_id", on="ts",
+        allow_exact_matches=True, direction="nearest",
+    )
+    return joined.map_batches(
+        lambda df: df[["conv_id", "_seq", "near_day_value"]], batch_format="pandas"
+    )
+
+
+SQL_ASOF_NEAREST = f"""{_T},
+daily AS (
+  SELECT conv_id, date_trunc('day', ts) + INTERVAL 1 DAY AS sts,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value
+  FROM t GROUP BY conv_id, date_trunc('day', ts)
+)
+SELECT t.conv_id, t._seq,
+       CASE WHEN b.sts IS NULL THEN f.day_value
+            WHEN f.sts IS NULL THEN b.day_value
+            WHEN (t.ts - b.sts) <= (f.sts - t.ts) THEN b.day_value
+            ELSE f.day_value END AS near_day_value
+FROM t
+ASOF LEFT JOIN daily b ON t.conv_id = b.conv_id AND t.ts >= b.sts
+ASOF LEFT JOIN daily f ON t.conv_id = f.conv_id AND t.ts <= f.sts
+"""
+
+QUERIES["asof_nearest"] = q_asof_nearest
+ORACLES["asof_nearest"] = SQL_ASOF_NEAREST
+
+
+# ---------------------------------------------------------------------------
+# Per-day traffic concentration: what share of each day's total value sits
+# in its top-10 conversations — the skew diagnostic that motivates the
+# engine's hot-key salting (a day whose top10_share ~ 1.0 is exactly the
+# pathological key state/skew.py exists for). Same one-shuffle shape as
+# the rank family: exact integer-cent (day, conv) partials, a day-keyed
+# shuffle, and a per-day sort + head(10) inside the bucket. All sums stay
+# integer-valued doubles (< 2^53) on both sides, so the share division is
+# bit-identical; a zero-total day yields NULL share on both sides.
+# ---------------------------------------------------------------------------
+CONC_TOP_K = 10
+
+
+def q_day_concentration(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+        d = d.sort_values(["day", "xc", "conv_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        rk = d.groupby("day", sort=False).cumcount()
+        topc = (
+            d[rk < CONC_TOP_K].groupby("day")["xc"].sum()
+        )
+        tot = d.groupby("day")["xc"].sum()
+        n = d.groupby("day")["conv_id"].size()
+        out = pd.DataFrame(
+            {"day": tot.index.astype("datetime64[us]"),
+             "n_convs": n.to_numpy(np.int64),
+             "total_value": round_half_away(tot.to_numpy(np.float64) / 100.0, 6),
+             "top10_value": round_half_away(
+                 topc.reindex(tot.index, fill_value=0).to_numpy(np.float64) / 100.0, 6
+             )}
+        )
+        t = tot.to_numpy(np.float64)
+        c = topc.reindex(tot.index, fill_value=0).to_numpy(np.float64)
+        out["top10_share"] = np.where(t != 0.0, round_half_away(c / t, 6), np.nan)
+        return out.reset_index(drop=True)
+
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
+    return map_conv_buckets(
+        partials, bucket_final, key="day", sort_cols=["day", "conv_id"], num_buckets=32
+    )
+
+
+SQL_DAY_CONCENTRATION = f"""{_T},
+d AS (
+  SELECT date_trunc('day', ts) AS day, conv_id, SUM(ROUND(value * 100)) AS xc
+  FROM t GROUP BY 1, 2
+),
+r AS (
+  SELECT day, conv_id, xc,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY xc DESC, conv_id ASC) AS rk
+  FROM d
+)
+SELECT day, COUNT(*) AS n_convs,
+       ROUND(SUM(xc) / 100.0, 6) AS total_value,
+       ROUND(SUM(CASE WHEN rk <= {CONC_TOP_K} THEN xc ELSE 0 END) / 100.0, 6)
+         AS top10_value,
+       CASE WHEN SUM(xc) <> 0 THEN
+         ROUND(SUM(CASE WHEN rk <= {CONC_TOP_K} THEN xc ELSE 0 END) / SUM(xc), 6)
+       END AS top10_share
+FROM r GROUP BY day
+"""
+
+QUERIES["day_concentration"] = q_day_concentration
+ORACLES["day_concentration"] = SQL_DAY_CONCENTRATION

@@ -46,8 +46,10 @@ def asof_join(
     with t' >= t (inclusive when ``allow_exact_matches``) — the scheduling
     complement ("next checkpoint after this turn"); forward matches read
     the future by construction, so it is never used for feature
-    backfill, only for label/annotation attachment. ``nearest`` is passed
-    through to the per-bucket merge for completeness.
+    backfill, only for label/annotation attachment. ``nearest`` picks the
+    closer of the two directions per left row with the equal-distance tie
+    PINNED to backward (pandas leaves it unspecified) — both scans run in
+    the same bucket task, so it still costs one shuffle.
 
     ``tolerance`` (a ``pd.Timedelta`` when ``on`` is a timestamp) bounds
     the match distance: a left row whose closest right row is farther than
@@ -101,6 +103,28 @@ def asof_join(
                     pass
         lf = lf.sort_values([on, key], kind="mergesort")
         rf = rf.sort_values([on, key], kind="mergesort")
+        if direction == "nearest":
+            # pandas' own direction='nearest' leaves the equal-distance
+            # tie unspecified; pin it explicitly (tie -> backward) so the
+            # result is engine-independent and SQL-expressible as two ASOF
+            # joins + a distance CASE. Same ONE shuffle — both scans run
+            # inside this bucket task.
+            rf2 = rf.assign(_r_on=rf[on])
+            bb = pd.merge_asof(lf, rf2, on=on, by=key, direction="backward",
+                               allow_exact_matches=allow_exact_matches,
+                               tolerance=tolerance)
+            ff = pd.merge_asof(lf, rf2, on=on, by=key, direction="forward",
+                               allow_exact_matches=allow_exact_matches,
+                               tolerance=tolerance)
+            lts = lf[on].reset_index(drop=True)
+            use_b = bb["_r_on"].notna() & (
+                ff["_r_on"].isna()
+                | ((lts - bb["_r_on"]) <= (ff["_r_on"] - lts))
+            )
+            out = bb.drop(columns=["_r_on"])
+            for c in right_out:
+                out[c] = bb[c].where(use_b, ff[c])
+            return out
         return pd.merge_asof(
             lf,
             rf,

@@ -62,3 +62,50 @@ def test_asof_strict_backward():
     )
     m = merged_ts.dropna(subset=["fts"])
     assert (m["fts"] < m["ts"]).all()
+
+
+def test_asof_nearest_tie_pinned_backward():
+    """direction='nearest' must pick the closer side and pin the
+    equal-distance tie to BACKWARD (the engine's documented rule — pandas
+    leaves it unspecified, so this is asserted against a hand-built truth
+    table, not merge_asof)."""
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    left = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "a", "b"],
+            "ts": [
+                base,                                # exact tie: bwd@-10s, fwd@+10s
+                base + pd.Timedelta(seconds=100),    # closer forward (+5s vs -90s)
+                base - pd.Timedelta(seconds=3600),   # only forward exists
+                base + pd.Timedelta(seconds=10**6),  # only backward exists
+                base,                                # conv with no right rows at all
+            ],
+            "k": [0, 1, 2, 3, 4],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a"],
+            "ts": [
+                base - pd.Timedelta(seconds=10),
+                base + pd.Timedelta(seconds=10),
+                base + pd.Timedelta(seconds=105),
+            ],
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="conv_id", on="ts",
+            allow_exact_matches=True, direction="nearest", num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=0: tie -> backward (v=1); k=1: nearest is +5s (v=3);
+    # k=2: no backward -> forward (v=1); k=3: no forward -> backward (v=3);
+    # k=4: no match -> NaN
+    np.testing.assert_allclose(
+        out["v"].to_numpy(), [1.0, 3.0, 1.0, 3.0, np.nan], equal_nan=True
+    )

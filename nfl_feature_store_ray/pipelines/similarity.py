@@ -391,3 +391,65 @@ def q_ann_lsh(sf_dir: str):
 
 
 QUERIES["ann_lsh"] = q_ann_lsh  # rows-only (approximate; recall test)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (mean pooling): the class-centroid / embedding-
+# aggregation primitive behind nearest-class-mean classifiers, IVF coarse
+# quantizers and label-prototype distillation. Scale shape: each batch
+# emits ONE quantized partial sum vector + count per label it saw (a
+# labels x dim matmul via np.add.at — no per-row Python), the tiny
+# (label, dim) partial table is groupby-summed, and the division happens
+# once at the end. Floats are micro-quantized (rint(v * 1e6) -> int64) so
+# the cross-engine sum is EXACT integer arithmetic regardless of
+# summation order — same trick as the cents sums; the oracle applies the
+# identical quantization. Output long-format (label, dim, centroid) so
+# the SQL compare is column-stable.
+# ---------------------------------------------------------------------------
+def q_centroid_label(sf_dir: str) -> pd.DataFrame:
+    emb = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.rint(m * 1e6).astype(np.int64)
+        labels, inv = np.unique(df["label"].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(labels), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(labels)).astype(np.int64)
+        dim = q.shape[1]
+        return pd.DataFrame(
+            {"label": np.repeat(labels, dim),
+             "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(labels)),
+             "qsum": sums.ravel(),
+             "cnt": np.repeat(cnt, dim)}
+        )
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False).agg(
+        qsum=("qsum", "sum"), cnt=("cnt", "sum")
+    )
+    out = pd.DataFrame(
+        {"label": agg["label"].astype("int32"),
+         "dim": agg["dim"].astype("int64"),
+         "n_vecs": agg["cnt"].astype("int64"),
+         "centroid": round_half_away(
+             agg["qsum"].to_numpy(np.float64) / 1e6 / agg["cnt"].to_numpy(np.float64), 6
+         )}
+    )
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+SQL_CENTROID_LABEL = """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_vecs,
+       ROUND(SUM(ROUND(CAST(v AS DOUBLE) * 1000000)) / 1000000.0 / COUNT(*), 6)
+         AS centroid
+FROM e GROUP BY label, dim
+"""
+
+QUERIES["centroid_label"] = q_centroid_label
+ORACLES["centroid_label"] = SQL_CENTROID_LABEL

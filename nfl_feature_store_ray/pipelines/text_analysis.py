@@ -1308,3 +1308,67 @@ JOIN sz zb ON zb.source = pr.source_b
 
 QUERIES["vocab_overlap"] = q_vocab_overlap
 ORACLES["vocab_overlap"] = SQL_VOCAB_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top-K BIGRAMS: the phrase-level heavy hitters (collocation
+# mining / tokenizer-merge candidates — the statistic BPE merge steps rank
+# on). Same distributed shape as top_tokens — per-batch partial counts,
+# one bigram-keyed shuffle, per-bucket top-K, tiny driver merge — but the
+# key stream is built by a vectorized adjacent-pair zip inside each batch
+# (explode once, shift once, mask document boundaries; no per-doc Python).
+# Single-token documents contribute nothing; ties pinned (cnt DESC,
+# bigram ASC) on both sides.
+# ---------------------------------------------------------------------------
+TOP_BIGRAMS_K = 20
+
+
+def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tok = df["text"].fillna("").str.lower().str.split(" ").explode()
+        w = tok.to_numpy(dtype=object)
+        d = tok.index.to_numpy(np.int64)
+        if len(w) < 2:
+            return pd.DataFrame({"bg": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        same = d[:-1] == d[1:]  # adjacent tokens from the SAME document
+        bg = pd.Series(w[:-1][same]).str.cat(pd.Series(w[1:][same]), sep=" ")
+        vc = bg.value_counts()
+        return pd.DataFrame({"bg": vc.index.astype(str),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("bg", as_index=False)["cnt"].sum()
+        s = s.sort_values(["cnt", "bg"], ascending=[False, True], kind="mergesort")
+        return s.head(TOP_BIGRAMS_K)
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    per_bucket = map_conv_buckets(parts, bucket_topk, key="bg",
+                                  sort_cols=["bg"], num_buckets=16)
+    merged = per_bucket.to_pandas()
+    merged = merged.sort_values(["cnt", "bg"], ascending=[False, True], kind="mergesort")
+    out = merged.head(TOP_BIGRAMS_K).reset_index(drop=True)
+    out.columns = ["bigram", "cnt"]
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+SQL_TOP_BIGRAMS = f"""
+WITH e AS (
+  SELECT string_split(lower(coalesce(text, '')), ' ') AS l FROM documents
+),
+b AS (
+  SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM e WHERE len(l) >= 2
+)
+SELECT w1 || ' ' || w2 AS bigram, COUNT(*) AS cnt
+FROM b GROUP BY 1
+ORDER BY cnt DESC, bigram ASC LIMIT {TOP_BIGRAMS_K}
+"""
+
+QUERIES["top_bigrams"] = q_top_bigrams
+ORACLES["top_bigrams"] = SQL_TOP_BIGRAMS

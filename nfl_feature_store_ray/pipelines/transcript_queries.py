@@ -3366,3 +3366,66 @@ FROM r GROUP BY day
 
 QUERIES["day_concentration"] = q_day_concentration
 ORACLES["day_concentration"] = SQL_DAY_CONCENTRATION
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: conversations grouped by their FIRST active day, then
+# counted at each day offset they return — the classic activation/
+# retention matrix, over conversations. Scale shape: per-batch distinct
+# (conv, day) partials (each batch ships at most one row per conv-day it
+# saw), ONE conv-keyed shuffle where each bucket owns whole conversations
+# and computes cohort = min(day) + offsets locally, then a bounded
+# (cohort, offset) count table (days x offsets rows) merges on the
+# driver. All-integer counts; the retention ratio divides two identical
+# integers on both sides.
+# ---------------------------------------------------------------------------
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    ts = transcripts_from_events(sf_dir)
+    pruned = _prune(ts, ["conv_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"],
+             "day": df["ts"].astype("datetime64[us]").dt.floor("D")}
+        ).drop_duplicates()
+
+    def bucket_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["conv_id", "day"])
+        cohort = d.groupby("conv_id")["day"].transform("min")
+        off = (d["day"] - cohort).dt.days.astype(np.int64)
+        out = pd.DataFrame({"cohort_day": cohort, "offset_days": off})
+        return out.groupby(["cohort_day", "offset_days"], as_index=False).agg(
+            n_convs=("offset_days", "size")
+        )
+
+    parts = pruned.map_batches(partial, batch_format="pandas")
+    per_bucket = map_conv_buckets(parts, bucket_offsets, key="conv_id",
+                                  sort_cols=["conv_id", "day"])
+    m = per_bucket.to_pandas().groupby(
+        ["cohort_day", "offset_days"], as_index=False
+    )["n_convs"].sum()
+    m = m.sort_values(["cohort_day", "offset_days"]).reset_index(drop=True)
+    base = m.groupby("cohort_day")["n_convs"].transform("first").to_numpy(np.float64)
+    m["retention"] = round_half_away(m["n_convs"].to_numpy(np.float64) / base, 6)
+    m["cohort_day"] = m["cohort_day"].astype("datetime64[us]")
+    m["n_convs"] = m["n_convs"].astype("int64")
+    return m
+
+
+SQL_COHORT_RETENTION = f"""{_T},
+cd AS (SELECT conv_id, date_trunc('day', ts) AS day FROM t GROUP BY 1, 2),
+ch AS (SELECT conv_id, MIN(day) AS cohort_day FROM cd GROUP BY conv_id),
+o AS (
+  SELECT ch.cohort_day,
+         CAST(date_diff('day', ch.cohort_day, cd.day) AS BIGINT) AS offset_days
+  FROM cd JOIN ch ON cd.conv_id = ch.conv_id
+),
+n AS (SELECT cohort_day, offset_days, COUNT(*) AS n_convs FROM o GROUP BY 1, 2)
+SELECT cohort_day, offset_days, n_convs,
+       ROUND(n_convs * 1.0 / FIRST_VALUE(n_convs)
+             OVER (PARTITION BY cohort_day ORDER BY offset_days), 6) AS retention
+FROM n
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLES["cohort_retention"] = SQL_COHORT_RETENTION

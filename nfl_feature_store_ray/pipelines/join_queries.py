@@ -631,3 +631,113 @@ FROM customer c FULL OUTER JOIN r ON c.c_custkey = r.o_custkey
 
 QUERIES["join_full_outer"] = q_join_full_outer
 ORACLES["join_full_outer"] = SQL_JOIN_FULL_OUTER
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 analogue (shipping-priority top-10): the canonical THREE-table
+# join-chain — dim-filter semi-join, then a fact-fact join, then a grouped
+# top-K — composed entirely from library operators. Scale shape: customer
+# never broadcasts (at TPC-H scale the filtered segment is still huge);
+# orders is SEMI-joined to the filtered customers on the custkey exchange,
+# the survivors join lineitem on the orderkey exchange (stages/join.py
+# cogroup spine, 2 join shuffles + 1 tiny partial-agg shuffle), and
+# revenue is summed in exact 1e-4 integer units (price_c * (100-disc_c),
+# the q1_pricing trick) so the distributed sum equals the oracle
+# regardless of partitioning. Top-10 rule pinned: revenue DESC,
+# o_orderdate ASC, l_orderkey ASC — partial top-10 per bucket, tiny
+# driver merge.
+# ---------------------------------------------------------------------------
+Q3_CUTOFF = pd.Timestamp("1996-07-01")
+
+
+def q_q3_shipping(sf_dir: str) -> pd.DataFrame:
+    from nfl_feature_store_ray.stages.join import equi_join
+
+    import pyarrow.dataset as pads
+
+    # predicate pushdown at every read (coarse row-group pre-filter; the
+    # exact per-row mask still applies after)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+                      filter=pads.field("c_mktsegment") == pads.scalar("BUILDING"),
+                      override_num_blocks=8)
+    cust_f = cust.map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas",
+    )
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < pads.scalar(Q3_CUTOFF),
+        override_num_blocks=8,
+    )
+    orders_f = orders.map_batches(
+        lambda df: df[df["o_orderdate"] < Q3_CUTOFF], batch_format="pandas"
+    )
+    # materialize at the join-chain stage boundary: the second equi_join's
+    # schema probe + tagged union would otherwise RE-EXECUTE the whole
+    # first join (read + custkey shuffle) two more times. The semi output
+    # is the narrow filtered orders projection — the natural (and
+    # spillable) intermediate to pin, same rationale as _asof_daily_sides.
+    o_semi = equi_join(orders_f, cust_f, on="o_custkey", right_on="c_custkey",
+                       how="semi", num_partitions=16).materialize()
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > pads.scalar(Q3_CUTOFF),
+        override_num_blocks=16,
+    )
+    li_f = li.map_batches(
+        lambda df: df[df["l_shipdate"] > Q3_CUTOFF], batch_format="pandas"
+    )
+    joined = equi_join(o_semi, li_f, on="o_orderkey", right_on="l_orderkey",
+                       how="inner", num_partitions=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        df = df.assign(rev_u=price_c * (100 - disc_c))  # exact 1e-4 units
+        return df.groupby(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        )["rev_u"].sum()
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        )["rev_u"].sum()
+        d["revenue"] = round_half_away(d["rev_u"].to_numpy(np.float64) / 1e4, 6)
+        d = d.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True], kind="mergesort")
+        return d.head(10).drop(columns=["rev_u"])
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    per_bucket = map_conv_buckets(partials, bucket_topk, key="o_orderkey",
+                                  sort_cols=["o_orderkey"], num_buckets=16)
+    m = per_bucket.to_pandas()
+    m = m.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                      ascending=[False, True, True], kind="mergesort").head(10)
+    out = m.rename(columns={"o_orderkey": "l_orderkey"}).reset_index(drop=True)
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return out[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+
+
+SQL_Q3_SHIPPING = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       o_orderpriority,
+       ROUND(SUM(ROUND(l_extendedprice * 100) * (100 - ROUND(l_discount * 100)))
+             / 10000.0, 6) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate > TIMESTAMP '1996-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+QUERIES["q3_shipping"] = q_q3_shipping
+ORACLES["q3_shipping"] = SQL_Q3_SHIPPING

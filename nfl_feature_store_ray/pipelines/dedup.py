@@ -1137,3 +1137,137 @@ FROM dc LEFT JOIN tc USING (doc_id)
 
 QUERIES["graph_triangles"] = q_graph_triangles
 ORACLES["graph_triangles"] = SQL_GRAPH_TRIANGLES
+
+
+# ---------------------------------------------------------------------------
+# Distributed PageRank over the near-dup graph: centrality of each
+# document in its duplication neighborhood (high-rank nodes are the
+# canonical representatives of template families — the "which copy to
+# keep" signal that degree alone misses). Synchronous iteration fused to
+# ONE shuffle per round: ranks, degrees, edges and incoming contributions
+# all key on the SAME doc_id hash, so a single bucket pass both updates
+# its nodes' ranks (damping over the contributions addressed to them) and
+# emits the next round's contributions (r // deg per outgoing edge) —
+# PR_ITERS + 2 total exchanges, the minimum a message-passing iteration
+# admits. ALL arithmetic is integer: rank mass is PR_SCALE fixed-point,
+# contributions are floor-divisions, and the damping update is
+# base + (85 * sum) // 100 — so the distributed result is bit-equal to
+# the oracle's unrolled-CTE evaluation regardless of partitioning or
+# summation order, with no float gate at all.
+# ---------------------------------------------------------------------------
+PR_ITERS = 5
+PR_SCALE = 10**12
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    edges = edit_distance_pairs(sf_dir, max_block=None)
+    # tagged-union schema (k, dst, deg, c): edge rows (k=src, dst, -1, -1),
+    # degree rows (k=node, -1, deg, -1), contribution rows (k=node, -1,
+    # -1, c>=0). doc ids / degrees / contributions are non-negative by
+    # construction, so -1 is a safe tag.
+    ed = edges.map_batches(
+        lambda df: pd.concat(
+            [
+                pd.DataFrame({"k": df["doc_a"].to_numpy(np.int64),
+                              "dst": df["doc_b"].to_numpy(np.int64)}),
+                pd.DataFrame({"k": df["doc_b"].to_numpy(np.int64),
+                              "dst": df["doc_a"].to_numpy(np.int64)}),
+            ],
+            ignore_index=True,
+        ).assign(deg=np.int64(-1), c=np.int64(-1)),
+        batch_format="pandas",
+    )
+
+    def deg_rows(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("k", as_index=False).agg(deg=("dst", "size"))
+        return pd.DataFrame({"k": d["k"].astype(np.int64), "dst": np.int64(-1),
+                             "deg": d["deg"].astype(np.int64), "c": np.int64(-1)})
+
+    # static per-bucket state (edges + degree rows), pinned once and read
+    # by every round — output-sized (true near-dup pairs x2 + one row per
+    # node), not corpus-sized
+    deg = map_conv_buckets(ed, deg_rows, key="k", sort_cols=["k"], num_buckets=16)
+    static = ed.union(deg).materialize()
+
+    n = int(static.map_batches(
+        lambda df: pd.DataFrame({"x": [int((df["deg"] != -1).sum())]}),
+        batch_format="pandas").to_pandas()["x"].sum())
+    r0 = PR_SCALE // n
+    base = (15 * r0) // 100
+
+    def step(first: bool, last: bool):
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["dst"] != -1]
+            d = g[(g["dst"] == -1) & (g["deg"] != -1)][["k", "deg"]]
+            if first:
+                r = d.assign(r=np.int64(r0))
+            else:
+                cc = g[(g["dst"] == -1) & (g["c"] != -1)]
+                s = cc.groupby("k", as_index=False)["c"].sum()
+                m = d.merge(s, on="k", how="left")
+                csum = m["c"].fillna(0).astype(np.int64).to_numpy()
+                r = pd.DataFrame({"k": m["k"], "deg": m["deg"],
+                                  "r": base + (85 * csum) // 100})
+            if last:
+                return pd.DataFrame({"doc_id": r["k"].astype(np.int64),
+                                     "degree": r["deg"].astype(np.int64),
+                                     "rank_q": r["r"].astype(np.int64)})
+            m = e[["k", "dst"]].merge(r, on="k", how="inner")
+            out = pd.DataFrame({"k": m["dst"].to_numpy(np.int64),
+                                "c": m["r"].to_numpy(np.int64)
+                                     // m["deg"].to_numpy(np.int64)})
+            out = out.groupby("k", as_index=False)["c"].sum()
+            return out.assign(dst=np.int64(-1), deg=np.int64(-1))[
+                ["k", "dst", "deg", "c"]]
+        return kern
+
+    state = map_conv_buckets(static, step(True, False), key="k",
+                             sort_cols=["k"], num_buckets=16)
+    for _ in range(PR_ITERS - 1):
+        state = map_conv_buckets(static.union(state), step(False, False),
+                                 key="k", sort_cols=["k"], num_buckets=16)
+    ranks = map_conv_buckets(static.union(state), step(False, True),
+                             key="k", sort_cols=["k"], num_buckets=16)
+    return ranks.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _pagerank_sql() -> str:
+    head = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX_CHARS}) AS s
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (SELECT doc_id, s, substr(s, 1, {EDIT_BLOCK_CHARS}) AS blk FROM d),
+e AS (
+  SELECT LEAST(a.doc_id, c.doc_id) AS x, GREATEST(a.doc_id, c.doc_id) AS y
+  FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+  WHERE levenshtein(a.s, c.s) <= {EDIT_MAX_DIST}
+),
+ed AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM ed GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT doc_id, deg, CAST({PR_SCALE} // n AS BIGINT) AS r
+       FROM deg CROSS JOIN nn)"""
+    body = ""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        body += f""",
+r{i} AS (
+  SELECT p.doc_id, p.deg,
+         CAST((15 * ({PR_SCALE} // nn.n)) // 100
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM {prev} p CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS doc_id, SUM(q.r // q.deg) AS s
+    FROM ed JOIN {prev} q ON ed.src = q.doc_id GROUP BY ed.dst
+  ) c ON c.doc_id = p.doc_id
+)"""
+        prev = f"r{i}"
+    return (head + body
+            + f"\nSELECT doc_id, CAST(deg AS BIGINT) AS degree, r AS rank_q FROM {prev}")
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+QUERIES["pagerank"] = q_pagerank
+ORACLES["pagerank"] = SQL_PAGERANK

@@ -3429,3 +3429,55 @@ FROM n
 
 QUERIES["cohort_retention"] = q_cohort_retention
 ORACLES["cohort_retention"] = SQL_COHORT_RETENTION
+
+
+# ---------------------------------------------------------------------------
+# Top-k WITH TIES (DENSE_RANK <= 3 per day): completes the top-k
+# semantics family — topk_per_day is ROW_NUMBER (exactly k rows,
+# tie-broken), this is the ties-included variant (a day with tied
+# heavy conversations keeps them ALL — the "don't arbitrarily drop a
+# tied winner" selection rule). Same one-shuffle rank-family shape;
+# dense rank is a vectorized change-flag cumsum over the sorted bucket,
+# computed on the 6dp-rounded value so tie groups are identical on both
+# engines.
+# ---------------------------------------------------------------------------
+TOPK_TIES_K = 3
+
+
+def q_topk_ties_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
+        d["day_value"] = round_half_away(d["day_value"], 6)
+        d = d.sort_values(["day", "day_value", "conv_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+        chg = d["day_value"].ne(
+            d.groupby("day", sort=False)["day_value"].shift()
+        ).astype(np.int64)
+        d["rnk"] = chg.groupby(d["day"], sort=False).cumsum().astype(np.int64)
+        d = d[d["rnk"] <= TOPK_TIES_K]
+        d["day"] = d["day"].astype("datetime64[us]")
+        return d
+
+    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
+    return map_conv_buckets(partials, bucket_rank, key="day",
+                            sort_cols=["day", "conv_id"], num_buckets=32)
+
+
+SQL_TOPK_TIES_DAY = f"""{_T},
+daily AS (
+  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  FROM t GROUP BY 1, 2
+)
+SELECT day, conv_id, day_value, rnk FROM (
+  SELECT day, conv_id, day_value,
+         CAST(DENSE_RANK() OVER (PARTITION BY day ORDER BY day_value DESC)
+              AS BIGINT) AS rnk
+  FROM daily
+) WHERE rnk <= {TOPK_TIES_K}
+"""
+
+QUERIES["topk_ties_day"] = q_topk_ties_day
+ORACLES["topk_ties_day"] = SQL_TOPK_TIES_DAY

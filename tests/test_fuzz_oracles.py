@@ -25,6 +25,7 @@ DOC_QUERIES = [
     "decontaminate", "curate_corpus", "media_stats", "oov_rate", "tfidf_terms",
     "hist_tokens", "lm_commonness", "redact_pii", "chunk_docs", "skew_tokens",
     "dedup_edit_distance", "media_dedup", "cooccurrence", "graph_triangles",
+    "vocab_overlap", "top_bigrams", "pagerank",
 ]
 
 
@@ -54,7 +55,9 @@ def fuzz_dir():
     df["lang"] = np.asarray(["en", "de", "es", "fr", "zh"], object)[
         rng.integers(0, 5, 300)
     ]
-    df["source"] = "fuzz"
+    # several sources so the cross-source ops (vocab_overlap, stratified
+    # sampling) exercise non-trivial pair/strata structure
+    df["source"] = np.asarray(["fa", "fb", "fc"], object)[rng.integers(0, 3, 300)]
     df["n_chars"] = df["text"].str.len().fillna(0).astype("int64")
     shutil.rmtree(FUZZ_DIR, ignore_errors=True)
     os.makedirs(FUZZ_DIR)
@@ -111,6 +114,8 @@ EVENT_QUERIES = [
     "w_response_latency", "w_share_day", "w_pattern_count",
     "w_quartile_bucket", "dedup_consecutive", "agg_hour_profile", "agg_tool_set",
     "w_session_funnel", "split_convs",
+    "w_rolling_mode", "asof_nearest", "day_concentration", "cohort_retention",
+    "topk_ties_day",
 ]
 
 
@@ -195,7 +200,8 @@ def emb_fuzz_dir():
     vecs[60] = -vecs[13]
     df = pd.DataFrame(
         {"vec_id": range(200),
-         "embedding": [v.astype(np.float32).tolist() for v in vecs]}
+         "embedding": [v.astype(np.float32).tolist() for v in vecs],
+         "label": rng.integers(0, 4, 200).astype("int32")}
     )
     shutil.rmtree(EMB_FUZZ_DIR, ignore_errors=True)
     os.makedirs(EMB_FUZZ_DIR)
@@ -203,7 +209,7 @@ def emb_fuzz_dir():
     yield EMB_FUZZ_DIR
 
 
-@pytest.mark.parametrize("name", ["ann_cosine_topk", "dedup_embedding"])
+@pytest.mark.parametrize("name", ["ann_cosine_topk", "dedup_embedding", "centroid_label"])
 def test_emb_fuzz_query_matches_oracle(name, emb_fuzz_dir):
     import __ray_entry__ as e
 

@@ -1372,3 +1372,71 @@ ORDER BY cnt DESC, bigram ASC LIMIT {TOP_BIGRAMS_K}
 
 QUERIES["top_bigrams"] = q_top_bigrams
 ORACLES["top_bigrams"] = SQL_TOP_BIGRAMS
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (posting lists): token -> ordered list of the
+# documents containing it — the search-index artifact. The gated query
+# keeps the PL_K most SELECTIVE terms (lowest document frequency, ties by
+# token — real indexes exclude stop-words for exactly the
+# posting-explosion reason; a rank rule is portable across corpus sizes
+# where an absolute df band is not). Scale shape: per-batch DISTINCT
+# (token, doc) partials, ONE token-keyed shuffle, per-token ordered join
+# inside the bucket in polars (group_by + sorted str.join — no Python
+# loop), tiny driver bottom-K merge. The byte-identical postings string
+# makes ordering + completeness hash-checkable.
+# ---------------------------------------------------------------------------
+PL_K = 20
+
+
+def q_posting_lists(sf_dir: str) -> pd.DataFrame:
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        tok = df["text"].fillna("").str.lower().str.split(" ").explode()
+        return pd.DataFrame(
+            {"tok": tok.to_numpy(),
+             "doc_id": df["doc_id"].to_numpy()[tok.index.to_numpy(np.int64)]}
+        ).drop_duplicates()
+
+    def bucket_index(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        out = (
+            pl.from_pandas(g.drop_duplicates(["tok", "doc_id"]))
+            .group_by("tok")
+            .agg(
+                df=pl.col("doc_id").n_unique().cast(pl.Int64),
+                postings=pl.col("doc_id").sort().cast(pl.String).str.join(","),
+            )
+            .sort(["df", "tok"])
+            .head(PL_K)  # per-bucket partial bottom-K
+        )
+        return out.to_pandas()
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+    per_bucket = map_conv_buckets(parts, bucket_index, key="tok",
+                                  sort_cols=["tok", "doc_id"], num_buckets=16)
+    m = per_bucket.to_pandas()
+    m = m.sort_values(["df", "tok"], kind="mergesort").head(PL_K)
+    m["df"] = m["df"].astype("int64")
+    return m.reset_index(drop=True)
+
+
+SQL_POSTING_LISTS = f"""
+WITH d AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM documents
+)
+SELECT tok, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM d GROUP BY tok
+ORDER BY df ASC, tok ASC LIMIT {PL_K}
+"""
+
+QUERIES["posting_lists"] = q_posting_lists
+ORACLES["posting_lists"] = SQL_POSTING_LISTS

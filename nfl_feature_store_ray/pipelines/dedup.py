@@ -1159,8 +1159,9 @@ PR_ITERS = 5
 PR_SCALE = 10**12
 
 
-def q_pagerank(sf_dir: str) -> pd.DataFrame:
-    edges = edit_distance_pairs(sf_dir, max_block=None)
+def q_pagerank(sf_dir: str, max_block: int | None = None) -> pd.DataFrame:
+    # gated query: exact edge scan; deployments pass the logged block cap
+    edges = edit_distance_pairs(sf_dir, max_block=max_block)
     # tagged-union schema (k, dst, deg, c): edge rows (k=src, dst, -1, -1),
     # degree rows (k=node, -1, deg, -1), contribution rows (k=node, -1,
     # -1, c>=0). doc ids / degrees / contributions are non-negative by

@@ -1190,9 +1190,14 @@ def q_pagerank(sf_dir: str, max_block: int | None = None) -> pd.DataFrame:
     deg = map_conv_buckets(ed, deg_rows, key="k", sort_cols=["k"], num_buckets=16)
     static = ed.union(deg).materialize()
 
-    n = int(static.map_batches(
+    cnt_df = static.map_batches(
         lambda df: pd.DataFrame({"x": [int((df["deg"] != -1).sum())]}),
-        batch_format="pandas").to_pandas()["x"].sum())
+        batch_format="pandas").to_pandas()
+    n = int(cnt_df["x"].sum()) if "x" in cnt_df.columns else 0
+    if n == 0:  # edgeless corpus: no graph — match the oracle's empty result
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "degree": pd.Series([], dtype="int64"),
+                             "rank_q": pd.Series([], dtype="int64")})
     r0 = PR_SCALE // n
     base = (15 * r0) // 100
 

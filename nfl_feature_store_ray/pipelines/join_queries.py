@@ -714,6 +714,11 @@ def q_q3_shipping(sf_dir: str) -> pd.DataFrame:
     per_bucket = map_conv_buckets(partials, bucket_topk, key="o_orderkey",
                                   sort_cols=["o_orderkey"], num_buckets=16)
     m = per_bucket.to_pandas()
+    if m.empty:  # zero qualifying orders: keep the output schema stable
+        m = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                          "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                          "o_orderpriority": pd.Series([], dtype=object),
+                          "revenue": pd.Series([], dtype="float64")})
     m = m.sort_values(["revenue", "o_orderdate", "o_orderkey"],
                       ascending=[False, True, True], kind="mergesort").head(10)
     out = m.rename(columns={"o_orderkey": "l_orderkey"}).reset_index(drop=True)

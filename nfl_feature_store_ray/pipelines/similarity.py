@@ -410,6 +410,11 @@ def q_centroid_label(sf_dir: str) -> pd.DataFrame:
     emb = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # np.stack raises on zero arrays (empty block)
+            return pd.DataFrame({"label": pd.Series([], dtype="int32"),
+                                 "dim": pd.Series([], dtype="int64"),
+                                 "qsum": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         q = np.rint(m * 1e6).astype(np.int64)
         labels, inv = np.unique(df["label"].to_numpy(), return_inverse=True)
@@ -425,6 +430,11 @@ def q_centroid_label(sf_dir: str) -> pd.DataFrame:
         )
 
     parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({"label": pd.Series([], dtype="int32"),
+                              "dim": pd.Series([], dtype="int64"),
+                              "qsum": pd.Series([], dtype="int64"),
+                              "cnt": pd.Series([], dtype="int64")})
     agg = parts.groupby(["label", "dim"], as_index=False).agg(
         qsum=("qsum", "sum"), cnt=("cnt", "sum")
     )

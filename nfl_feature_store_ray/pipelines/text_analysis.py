@@ -1275,7 +1275,11 @@ def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
                 {"source_a": a, "source_b": b, "inter_size": iv, "union_size": un,
                  "jaccard": round_half_away(np.float64(iv * 1.0 / un), 6)}
             )
-    out = pd.DataFrame(rows)
+    out = pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "inter_size", "union_size", "jaccard"],
+    )  # explicit columns: a single-source corpus yields ZERO pairs and a
+    # bare DataFrame([]) would lose the schema the oracle compare needs
     out["inter_size"] = out["inter_size"].astype("int64")
     out["union_size"] = out["union_size"].astype("int64")
     return out
@@ -1421,6 +1425,10 @@ def q_posting_lists(sf_dir: str) -> pd.DataFrame:
     per_bucket = map_conv_buckets(parts, bucket_index, key="tok",
                                   sort_cols=["tok", "doc_id"], num_buckets=16)
     m = per_bucket.to_pandas()
+    if m.empty:  # zero-block Dataset loses columns; rebuild the schema
+        m = pd.DataFrame({"tok": pd.Series([], dtype=object),
+                          "df": pd.Series([], dtype="int64"),
+                          "postings": pd.Series([], dtype=object)})
     m = m.sort_values(["df", "tok"], kind="mergesort").head(PL_K)
     m["df"] = m["df"].astype("int64")
     return m.reset_index(drop=True)

@@ -3401,9 +3401,12 @@ def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     parts = pruned.map_batches(partial, batch_format="pandas")
     per_bucket = map_conv_buckets(parts, bucket_offsets, key="conv_id",
                                   sort_cols=["conv_id", "day"])
-    m = per_bucket.to_pandas().groupby(
-        ["cohort_day", "offset_days"], as_index=False
-    )["n_convs"].sum()
+    mm = per_bucket.to_pandas()
+    if mm.empty:  # zero-block Dataset loses columns; rebuild the schema
+        mm = pd.DataFrame({"cohort_day": pd.Series([], dtype="datetime64[us]"),
+                           "offset_days": pd.Series([], dtype="int64"),
+                           "n_convs": pd.Series([], dtype="int64")})
+    m = mm.groupby(["cohort_day", "offset_days"], as_index=False)["n_convs"].sum()
     m = m.sort_values(["cohort_day", "offset_days"]).reset_index(drop=True)
     base = m.groupby("cohort_day")["n_convs"].transform("first").to_numpy(np.float64)
     m["retention"] = round_half_away(m["n_convs"].to_numpy(np.float64) / base, 6)

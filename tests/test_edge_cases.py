@@ -268,3 +268,57 @@ def test_sample_stratified_negative_ids_match_oracle(tmp_path):
     ora = con.execute(SQL_SAMPLE_STRATIFIED).df()
     key = lambda df: sorted(map(tuple, df[["doc_id", "lang", "rk"]].to_numpy()))
     assert key(eng) == key(ora)
+
+
+def _docs_oracle_compare(tmp_path, df, names):
+    """Run each named document-family query on a planted corpus and
+    compare rows+schema against its DuckDB oracle (the degenerate-corpus
+    contract: empty results must keep their schema)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    d = tmp_path / "docs"
+    d.mkdir(exist_ok=True)
+    df.to_parquet(d / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    for name in names:
+        r = e.queries()[name](str(d))
+        r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+        s = con.execute(e.oracle_sql()[name]).df()
+        assert sorted(r.columns) == sorted(s.columns), (name, r.columns)
+        assert len(r) == len(s), (name, len(r), len(s))
+
+
+def test_vocab_overlap_single_source_keeps_schema(tmp_path, ray_session):
+    """One source => zero pairs; the result must be an EMPTY frame with
+    the full 5-column schema (a bare DataFrame([]) would lose it)."""
+    df = pd.DataFrame(
+        {"doc_id": range(6), "text": ["a b", "b c", None, "", "a", "c d"],
+         "lang": "en", "source": "only", "n_chars": 0}
+    )
+    _docs_oracle_compare(tmp_path, df, ["vocab_overlap"])
+
+
+def test_pagerank_edgeless_corpus_empty_not_crash(tmp_path, ray_session):
+    """All-distinct prefixes => no near-dup edges => empty graph; the
+    engine must return the empty typed frame, not divide by zero."""
+    df = pd.DataFrame(
+        {"doc_id": range(8),
+         "text": [f"{c}{c}{c}{c} utterly distinct prefix {i}"
+                  for i, c in enumerate("qwertzui")],
+         "lang": "en", "source": "s", "n_chars": 0}
+    )
+    _docs_oracle_compare(tmp_path, df, ["pagerank"])
+
+
+def test_posting_lists_tiny_and_empty_corpus(tmp_path, ray_session):
+    """Fewer tokens than PL_K and a fully-NULL corpus both keep schema."""
+    df = pd.DataFrame(
+        {"doc_id": range(3), "text": ["a b", "a", None],
+         "lang": "en", "source": "s", "n_chars": 0}
+    )
+    _docs_oracle_compare(tmp_path, df, ["posting_lists", "top_bigrams"])

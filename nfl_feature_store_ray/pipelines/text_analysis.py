@@ -1448,3 +1448,113 @@ ORDER BY df ASC, tok ASC LIMIT {PL_K}
 
 QUERIES["posting_lists"] = q_posting_lists
 ORACLES["posting_lists"] = SQL_POSTING_LISTS
+
+
+# ---------------------------------------------------------------------------
+# Typo-correctability profile (SymSpell-style): per document, how many
+# token occurrences are OOV vs the top-TYPO_VOCAB_K vocabulary but within
+# edit distance 1 of a vocabulary word — the spelling-noise QC signal
+# (high n_correctable/n_oov = noisy-but-salvageable text; low = genuinely
+# novel vocabulary). Scale shape: the vocabulary is the distributed
+# heavy-hitter pass broadcast ONCE with its deletion-1 neighborhood index
+# (the SymSpell trick: d(t,w)<=1 implies the variant sets {x}∪del1(x)
+# intersect, so candidate generation is a hash join over O(len) variants
+# per token, never O(|V|) distances); candidates are then VERIFIED with
+# DuckDB's own levenshtein as an in-worker vectorized kernel — char-level
+# (not byte-level) distance, so multibyte text scores identically to the
+# oracle by construction. The probe is a shuffle-free map.
+# ---------------------------------------------------------------------------
+TYPO_VOCAB_K = 100
+
+
+def _del1_variants(word: str) -> list[str]:
+    return [word] + [word[:i] + word[i + 1:] for i in range(len(word))]
+
+
+def q_typo_stats(sf_dir: str):
+    import ray as _ray
+
+    vocab = sorted(top_tokens_df(sf_dir, TYPO_VOCAB_K)["tok"])
+    index: dict[str, list[str]] = {}
+    for w in vocab:  # O(|V| * len) once on the driver, broadcast below
+        for v in _del1_variants(w):
+            index.setdefault(v, []).append(w)
+    max_len = max((len(w) for w in vocab), default=0) + 1
+    bundle_ref = _ray.put((frozenset(vocab), index, max_len))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def profile(df: pd.DataFrame) -> pd.DataFrame:
+        import duckdb as _duck
+
+        vocab_set, idx, mlen = _cached_set_get(bundle_ref)
+        df = df.reset_index(drop=True)
+        tok = df["text"].fillna("").str.lower().str.split(" ").explode()
+        n_tokens = tok.groupby(level=0).size().reindex(df.index, fill_value=0)
+        oov = ~tok.isin(vocab_set)
+        n_oov = oov.groupby(level=0).sum().reindex(df.index, fill_value=0)
+
+        # candidate generation: unique OOV tokens -> deletion-1 variants ->
+        # hash-join against the vocabulary's variant index
+        uniq = pd.Series(sorted(set(tok[oov].to_numpy())), dtype=object)
+        uniq = uniq[uniq.str.len() <= mlen].reset_index(drop=True)
+        cand_t, cand_w = [], []
+        ulen_max = int(uniq.str.len().max()) if len(uniq) else 0
+        for i in range(ulen_max + 1):
+            var = (uniq.str[:i] + uniq.str[i + 1:]) if i < mlen else uniq
+            hits = var.map(idx)
+            for t, ws in zip(uniq[hits.notna()], hits.dropna()):
+                cand_t.extend([t] * len(ws))
+                cand_w.extend(ws)
+        hits0 = uniq.map(idx)  # the token itself as a variant (ins case)
+        for t, ws in zip(uniq[hits0.notna()], hits0.dropna()):
+            cand_t.extend([t] * len(ws))
+            cand_w.extend(ws)
+        correctable: set = set()
+        if cand_t:
+            pairs = pd.DataFrame({"t": cand_t, "w": cand_w}).drop_duplicates()
+            con = _duck.connect()
+            con.register("pairs", pairs)
+            # vectorized char-level verify — same kernel as the oracle
+            ok = con.execute(
+                "SELECT DISTINCT t FROM pairs WHERE levenshtein(t, w) <= 1"
+            ).df()
+            con.close()
+            correctable = set(ok["t"])
+        n_corr = (oov & tok.isin(correctable)).groupby(level=0).sum().reindex(
+            df.index, fill_value=0
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "n_tokens": n_tokens.astype("int64"),
+             "n_oov": n_oov.astype("int64"),
+             "n_correctable": n_corr.astype("int64")}
+        )
+
+    return docs.map_batches(profile, batch_format="pandas")
+
+
+SQL_TYPO_STATS = f"""
+WITH v AS (
+  SELECT tok
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) u
+  GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT {TYPO_VOCAB_K}
+),
+d AS (
+  SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM documents
+),
+f AS (
+  SELECT d.doc_id, d.tok, v.tok IS NOT NULL AS in_v
+  FROM d LEFT JOIN v ON d.tok = v.tok
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN in_v THEN 0 ELSE 1 END) AS n_oov,
+       SUM(CASE WHEN NOT in_v AND EXISTS (
+             SELECT 1 FROM v WHERE levenshtein(f.tok, v.tok) <= 1
+           ) THEN 1 ELSE 0 END) AS n_correctable
+FROM f GROUP BY doc_id
+"""
+
+QUERIES["typo_stats"] = q_typo_stats
+ORACLES["typo_stats"] = SQL_TYPO_STATS

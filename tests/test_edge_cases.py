@@ -322,3 +322,31 @@ def test_posting_lists_tiny_and_empty_corpus(tmp_path, ray_session):
          "lang": "en", "source": "s", "n_chars": 0}
     )
     _docs_oracle_compare(tmp_path, df, ["posting_lists", "top_bigrams"])
+
+
+def test_typo_stats_planted_truth(tmp_path, ray_session):
+    """Planted corpus with a known answer. The vocabulary is exactly 100
+    words each appearing 3x (filling the TYPO_VOCAB_K=100 top slots), so
+    the once-only probe tokens are OOV: 'thx' (sub) and 'thee' (ins) are
+    distance 1 from vocab word 'the' (correctable), 'zzzzz' is not. Note
+    'teh' would NOT count — plain Levenshtein scores the transposition 2."""
+    words = ["the"] + [f"word{i:03d}" for i in range(99)]
+    filler = " ".join(words * 3)
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": [filler,                       # all in-vocab
+                  filler + " thx thee",         # 2 correctable typos
+                  filler + " zzzzz thx"],       # 1 far-OOV + 1 typo
+         "lang": "en", "source": "s", "n_chars": 0}
+    )
+    d = tmp_path / "typo"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet", index=False)
+    import __ray_entry__ as e
+
+    r = e.queries()["typo_stats"](str(d))
+    r = (r.to_pandas() if not isinstance(r, pd.DataFrame) else r).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert r["n_oov"].tolist() == [0, 2, 2]
+    assert r["n_correctable"].tolist() == [0, 2, 1]

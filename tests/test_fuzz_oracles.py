@@ -25,7 +25,7 @@ DOC_QUERIES = [
     "decontaminate", "curate_corpus", "media_stats", "oov_rate", "tfidf_terms",
     "hist_tokens", "lm_commonness", "redact_pii", "chunk_docs", "skew_tokens",
     "dedup_edit_distance", "media_dedup", "cooccurrence", "graph_triangles",
-    "vocab_overlap", "top_bigrams", "pagerank", "posting_lists",
+    "vocab_overlap", "top_bigrams", "pagerank", "posting_lists", "typo_stats",
 ]
 
 

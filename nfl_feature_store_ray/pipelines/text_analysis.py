@@ -1460,9 +1460,9 @@ ORACLES["posting_lists"] = SQL_POSTING_LISTS
 # (the SymSpell trick: d(t,w)<=1 implies the variant sets {x}∪del1(x)
 # intersect, so candidate generation is a hash join over O(len) variants
 # per token, never O(|V|) distances); candidates are then VERIFIED with
-# DuckDB's own levenshtein as an in-worker vectorized kernel — char-level
-# (not byte-level) distance, so multibyte text scores identically to the
-# oracle by construction. The probe is a shuffle-free map.
+# DuckDB's own levenshtein as an in-worker vectorized kernel — the SAME
+# (byte-based) distance function the oracle evaluates, so multibyte text
+# scores identically by construction. The probe is a shuffle-free map.
 # ---------------------------------------------------------------------------
 TYPO_VOCAB_K = 100
 
@@ -1515,7 +1515,7 @@ def q_typo_stats(sf_dir: str):
             pairs = pd.DataFrame({"t": cand_t, "w": cand_w}).drop_duplicates()
             con = _duck.connect()
             con.register("pairs", pairs)
-            # vectorized char-level verify — same kernel as the oracle
+            # vectorized verify with the oracle's own distance kernel
             ok = con.execute(
                 "SELECT DISTINCT t FROM pairs WHERE levenshtein(t, w) <= 1"
             ).df()

@@ -3484,3 +3484,105 @@ SELECT day, conv_id, day_value, rnk FROM (
 
 QUERIES["topk_ties_day"] = q_topk_ties_day
 ORACLES["topk_ties_day"] = SQL_TOPK_TIES_DAY
+
+
+# ---------------------------------------------------------------------------
+# Global max session concurrency: the peak number of simultaneously-active
+# sessions across the whole timeline, and the earliest instant it is
+# reached — the capacity-planning statistic (inclusive intervals: a
+# session starting at another's exact end overlaps it). This is the
+# repo's distributed PREFIX-SCAN pattern: the sweep line needs a global
+# time-ordered cumulative sum, which no single node should hold, so it
+# runs as (1) session bounds from one conv-keyed shuffle, (2) ±1 boundary
+# events day-bucketed (days are contiguous time ranges, so order across
+# buckets is free), each day reducing to (total delta, local prefix-max,
+# first ts achieving it), and (3) a driver pass over the tiny per-day
+# table that turns day totals into exclusive prefix carries — global max
+# = max(carry_d + localmax_d), no second data pass needed because only
+# the max is wanted. All-integer; the scan's total order is pinned
+# (ts, delta DESC, conv_id, session_id) identically in the SQL's ROWS
+# window.
+# ---------------------------------------------------------------------------
+def q_max_concurrency(sf_dir: str) -> pd.DataFrame:
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq"])
+
+    def session_bounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        codes = pd.factorize(g["conv_id"])[0]
+        gap = g["ts"].diff().dt.total_seconds()
+        brk = ((gap > SESSION_GAP_S) & (codes == np.roll(codes, 1))).astype(np.int64)
+        brk[np.concatenate([[True], codes[1:] != codes[:-1]])] = 0
+        sid = pd.Series(brk).groupby(codes, sort=False).cumsum()
+        d = pd.DataFrame({"conv_id": g["conv_id"], "sid": sid.astype(np.int64),
+                          "ts": g["ts"]})
+        b = d.groupby(["conv_id", "sid"], as_index=False).agg(
+            bts=("ts", "min"), ets=("ts", "max")
+        )
+        starts = pd.DataFrame({"conv_id": b["conv_id"], "sid": b["sid"],
+                               "ts": b["bts"], "delta": np.int64(1)})
+        ends = pd.DataFrame({"conv_id": b["conv_id"], "sid": b["sid"],
+                             "ts": b["ets"], "delta": np.int64(-1)})
+        out = pd.concat([starts, ends], ignore_index=True)
+        out["day"] = out["ts"].astype("datetime64[us]").dt.floor("D")
+        return out
+
+    bounds = map_conv_buckets(pruned, session_bounds, key="conv_id",
+                              sort_cols=["conv_id", "ts", "_seq"])
+
+    def day_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "ts", "delta", "conv_id", "sid"],
+                          ascending=[True, True, False, True, True],
+                          kind="mergesort").reset_index(drop=True)
+        rows = []
+        for day, dg in g.groupby("day", sort=False):
+            c = dg["delta"].to_numpy(np.int64).cumsum()
+            mx = int(c.max())
+            first = int(np.argmax(c == mx))
+            rows.append({"day": day, "total": int(c[-1]), "local_max": mx,
+                         "at_ts": dg["ts"].iloc[first]})
+        return pd.DataFrame(rows)
+
+    per_day = map_conv_buckets(bounds, day_scan, key="day",
+                               sort_cols=["day", "ts"], num_buckets=32)
+    m = per_day.to_pandas()
+    if m.empty:  # no events: match the oracle's empty LIMIT 1 result
+        return pd.DataFrame(
+            {"max_concurrency": pd.Series([], dtype="int64"),
+             "at_ts": pd.Series([], dtype="datetime64[us]")}
+        )
+    m = m.sort_values("day").reset_index(drop=True)
+    carry = m["total"].cumsum().shift(fill_value=0).to_numpy(np.int64)
+    glob = carry + m["local_max"].to_numpy(np.int64)
+    best = int(np.argmax(glob))  # first (earliest-day) occurrence of the max
+    return pd.DataFrame(
+        {"max_concurrency": pd.Series([int(glob[best])], dtype="int64"),
+         "at_ts": pd.Series([m["at_ts"].iloc[best]], dtype="datetime64[us]")}
+    )
+
+
+SQL_MAX_CONCURRENCY = f"""{_T},
+g AS (
+  SELECT conv_id, ts, _seq,
+         CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (SELECT conv_id, ts, SUM(brk) OVER ({_W}) AS sid FROM g),
+bnd AS (
+  SELECT conv_id, sid, MIN(ts) AS ts, 1 AS delta FROM s GROUP BY conv_id, sid
+  UNION ALL
+  SELECT conv_id, sid, MAX(ts), -1 FROM s GROUP BY conv_id, sid
+),
+c AS (
+  SELECT ts, SUM(delta) OVER (
+           ORDER BY ts, delta DESC, conv_id, sid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM bnd
+)
+SELECT CAST(conc AS BIGINT) AS max_concurrency, ts AS at_ts
+FROM c ORDER BY conc DESC, ts ASC LIMIT 1
+"""
+
+QUERIES["max_concurrency"] = q_max_concurrency
+ORACLES["max_concurrency"] = SQL_MAX_CONCURRENCY

@@ -170,6 +170,14 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("chunk_docs", lambda: q_chunk_docs(sf_dir))
     timed("dedup_edit_distance", lambda: q_dedup_edit_distance(sf_dir))
 
+    # round-3 late additions: the 3-table join chain (semi + fact-fact on
+    # the cogroup spine) and the fused one-shuffle-per-iteration PageRank
+    from nfl_feature_store_ray.pipelines.dedup import q_pagerank
+    from nfl_feature_store_ray.pipelines.join_queries import q_q3_shipping
+
+    timed("q3_shipping", lambda: q_q3_shipping(sf_dir))
+    timed("pagerank", lambda: q_pagerank(sf_dir))
+
     result = {
         "metric": "flagship window-feature materialization wall time",
         "value": headline,

@@ -3586,3 +3586,61 @@ FROM c ORDER BY conc DESC, ts ASC LIMIT 1
 
 QUERIES["max_concurrency"] = q_max_concurrency
 ORACLES["max_concurrency"] = SQL_MAX_CONCURRENCY
+
+
+# ---------------------------------------------------------------------------
+# Late-arrival audit: per conversation, how many events arrived (by _seq,
+# the physical ingestion order) with a timestamp BEHIND the running
+# event-time maximum, and how far behind at worst — the out-of-orderness
+# profile that sizes streaming watermarks (state/streaming.py's
+# watermark guard is exactly this bound). Kernel: one vectorized running
+# max over arrival order inside the conversation bucket; lateness in
+# exact integer MICROseconds (epoch-seconds doubles would round
+# differently across engines).
+# ---------------------------------------------------------------------------
+def q_late_events(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "_seq"], kind="mergesort").reset_index(drop=True)
+        codes = pd.factorize(g["conv_id"])[0]
+        t = g["ts"].astype("datetime64[us]")
+        cmax = t.groupby(codes, sort=False).cummax()
+        prior = cmax.shift()
+        prior[np.concatenate([[True], codes[1:] != codes[:-1]])] = pd.NaT
+        late = t < prior
+        lateness = ((prior - t).dt.total_seconds() * 1e6).round()
+        d = pd.DataFrame({"conv_id": g["conv_id"], "late": late.astype(np.int64),
+                          "lus": np.where(late, lateness, np.nan)})
+        out = d.groupby("conv_id", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_lateness_us=("lus", "max"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_late"] = out["n_late"].astype("int64")
+        out["max_lateness_us"] = out["max_lateness_us"].fillna(0).astype("int64")
+        return out
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "_seq"])
+
+
+SQL_LATE_EVENTS = f"""{_T},
+x AS (
+  SELECT conv_id, ts,
+         MAX(ts) OVER (PARTITION BY conv_id ORDER BY _seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM t
+)
+SELECT conv_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN ts < prior_max
+                          THEN date_diff('microsecond', ts, prior_max) END), 0)
+            AS BIGINT) AS max_lateness_us
+FROM x GROUP BY conv_id
+"""
+
+QUERIES["w_late_events"] = q_late_events
+ORACLES["w_late_events"] = SQL_LATE_EVENTS

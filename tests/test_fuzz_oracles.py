@@ -115,7 +115,7 @@ EVENT_QUERIES = [
     "w_quartile_bucket", "dedup_consecutive", "agg_hour_profile", "agg_tool_set",
     "w_session_funnel", "split_convs",
     "w_rolling_mode", "asof_nearest", "day_concentration", "cohort_retention",
-    "topk_ties_day", "max_concurrency",
+    "topk_ties_day", "max_concurrency", "json_props", "w_late_events",
 ]
 
 

@@ -673,13 +673,17 @@ def q_q3_shipping(sf_dir: str) -> pd.DataFrame:
     orders_f = orders.map_batches(
         lambda df: df[df["o_orderdate"] < Q3_CUTOFF], batch_format="pandas"
     )
-    # materialize at the join-chain stage boundary: the second equi_join's
-    # schema probe + tagged union would otherwise RE-EXECUTE the whole
-    # first join (read + custkey shuffle) two more times. The semi output
-    # is the narrow filtered orders projection — the natural (and
-    # spillable) intermediate to pin, same rationale as _asof_daily_sides.
+    _ORD = {"o_orderkey": "int64", "o_custkey": "int64",
+            "o_orderdate": "datetime64[us]", "o_orderpriority": "object"}
+    # schema hints end-to-end: without them each equi_join's schema()
+    # probe partially EXECUTES its lazy inputs, so the second join in the
+    # chain re-runs the first (measured ~2x wall on this query). With
+    # hints the whole 3-table chain stays one streaming lazy plan — no
+    # mid-chain materialize needed.
     o_semi = equi_join(orders_f, cust_f, on="o_custkey", right_on="c_custkey",
-                       how="semi", num_partitions=16).materialize()
+                       how="semi", num_partitions=16,
+                       left_schema_hint=_ORD,
+                       right_schema_hint={"c_custkey": "int64"})
 
     li = read_table(
         sf_dir, "lineitem",
@@ -690,8 +694,14 @@ def q_q3_shipping(sf_dir: str) -> pd.DataFrame:
     li_f = li.map_batches(
         lambda df: df[df["l_shipdate"] > Q3_CUTOFF], batch_format="pandas"
     )
-    joined = equi_join(o_semi, li_f, on="o_orderkey", right_on="l_orderkey",
-                       how="inner", num_partitions=16)
+    joined = equi_join(
+        o_semi, li_f, on="o_orderkey", right_on="l_orderkey",
+        how="inner", num_partitions=16,
+        left_schema_hint=_ORD,
+        right_schema_hint={"l_orderkey": "int64", "l_extendedprice": "float64",
+                           "l_discount": "float64",
+                           "l_shipdate": "datetime64[us]"},
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         price_c = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)

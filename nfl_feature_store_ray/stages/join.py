@@ -50,6 +50,8 @@ def equi_join(
     num_partitions: int = 32,
     left_suffix: str | None = None,
     right_suffix: str = "_r",
+    left_schema_hint: dict | None = None,
+    right_schema_hint: dict | None = None,
 ) -> ray.data.Dataset:
     """Distributed hash equi-join of two Datasets.
 
@@ -59,6 +61,12 @@ def equi_join(
     key columns share names the output carries ONE key column (pandas
     merge semantics); differently-named keys both survive (outer rows
     null-fill the absent side, so consumers coalesce the two key columns).
+
+    ``*_schema_hint`` ({column -> pandas dtype}, in column order): when
+    given, skips the ``Dataset.schema()`` probe for that side. The probe
+    partially EXECUTES a lazy upstream pipeline, so in a join CHAIN each
+    downstream join re-runs its inputs — a caller that knows its columns
+    (it usually projected them) avoids that entirely.
     """
     if how not in _HOW:
         raise ValueError(f"unsupported join type: {how!r} (one of {sorted(_HOW)})")
@@ -69,10 +77,10 @@ def equi_join(
     if len(r_t) != len(on_t):
         raise ValueError("right_on arity must match on")
 
-    left_schema = left.schema()
-    right_schema = right.schema()
-    left_cols = list(left_schema.names)
-    right_cols = list(right_schema.names)
+    left_schema = None if left_schema_hint is not None else left.schema()
+    right_schema = None if right_schema_hint is not None else right.schema()
+    left_cols = list(left_schema_hint) if left_schema_hint is not None else list(left_schema.names)
+    right_cols = list(right_schema_hint) if right_schema_hint is not None else list(right_schema.names)
     same_keys = r_t == on_t
 
     # pre-rename colliding right (and optionally left) NON-KEY columns so
@@ -94,8 +102,13 @@ def equi_join(
             for n, t in zip(schema.names, schema.types)
         }
 
-    left_dtypes = _dtypes(left_schema, l_rename)
-    right_dtypes = _dtypes(right_schema, r_rename)
+    def _hint_dtypes(hint, rename):
+        return {rename.get(n, n): t for n, t in hint.items()}
+
+    left_dtypes = (_hint_dtypes(left_schema_hint, l_rename)
+                   if left_schema_hint is not None else _dtypes(left_schema, l_rename))
+    right_dtypes = (_hint_dtypes(right_schema_hint, r_rename)
+                    if right_schema_hint is not None else _dtypes(right_schema, r_rename))
 
     def tag(side: int):
         rename = l_rename if side == 0 else r_rename

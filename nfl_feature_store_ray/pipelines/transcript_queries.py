@@ -3644,3 +3644,67 @@ FROM x GROUP BY conv_id
 
 QUERIES["w_late_events"] = q_late_events
 ORACLES["w_late_events"] = SQL_LATE_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# GROUPS-mode window frame (peer-group-aware rolling): per turn, the
+# cents-exact value sum over the current ts-PEER GROUP and one preceding
+# peer group within the conversation — SQL's `GROUPS BETWEEN 1 PRECEDING
+# AND CURRENT ROW`, the frame mode that differs from ROWS exactly when
+# timestamps tie (every tied row sees its whole peer group). DuckDB has
+# not implemented GROUPS mode, so the oracle is the equivalence rewrite
+# (DENSE_RANK peer index → per-group sums → LAG) — the engine kernel
+# supports the mode natively: one change-flag scan assigns peer indices,
+# two grouped transforms build group sums, all vectorized in the same
+# one-shuffle conversation bucket.
+# ---------------------------------------------------------------------------
+def q_groups_frame(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "value"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        codes = pd.factorize(g["conv_id"])[0]
+        newc = np.concatenate([[True], codes[1:] != codes[:-1]])
+        t = g["ts"].to_numpy()
+        newg = newc | np.concatenate([[True], t[1:] != t[:-1]])
+        gi = pd.Series(newg.astype(np.int64)).groupby(codes, sort=False).cumsum()
+        xc = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        d = pd.DataFrame({"c": codes, "gi": gi, "xc": xc})
+        gc = d.groupby(["c", "gi"], sort=False)["xc"].transform("sum")
+        # previous peer group's sum: first-row-of-group lookup shifted one
+        firsts = d.loc[newg, ["c", "gi"]].assign(gc=gc[newg].to_numpy())
+        firsts["prev"] = firsts.groupby("c", sort=False)["gc"].shift().fillna(0)
+        m = d.merge(firsts[["c", "gi", "prev"]], on=["c", "gi"], how="left")
+        total = gc.to_numpy(np.int64) + m["prev"].to_numpy(np.int64)
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "grp_sum": round_half_away(total / 100.0, 6)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_GROUPS_FRAME = f"""{_T},
+g AS (
+  SELECT conv_id, turn_idx, ts, value,
+         DENSE_RANK() OVER (PARTITION BY conv_id ORDER BY ts) AS gi
+  FROM t
+),
+gs AS (
+  SELECT conv_id, gi, SUM(ROUND(value * 100)) AS gc
+  FROM g GROUP BY conv_id, gi
+),
+w AS (
+  SELECT conv_id, gi,
+         gc + COALESCE(LAG(gc) OVER (PARTITION BY conv_id ORDER BY gi), 0) AS wc
+  FROM gs
+)
+SELECT g.conv_id, g.turn_idx, ROUND(w.wc / 100.0, 6) AS grp_sum
+FROM g JOIN w ON g.conv_id = w.conv_id AND g.gi = w.gi
+"""
+
+QUERIES["w_groups_frame"] = q_groups_frame
+ORACLES["w_groups_frame"] = SQL_GROUPS_FRAME

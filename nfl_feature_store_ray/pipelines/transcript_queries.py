@@ -3708,3 +3708,71 @@ FROM g JOIN w ON g.conv_id = w.conv_id AND g.gi = w.gi
 
 QUERIES["w_groups_frame"] = q_groups_frame
 ORACLES["w_groups_frame"] = SQL_GROUPS_FRAME
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding per (day, role): each turn's encoding is
+# the mean value of all OTHER same-day same-role turns — the classic
+# leakage-safe categorical encoder (plain group-mean encoding leaks the
+# row's own target; LOO subtracts it: (S - x_i) / (N - 1), NULL for
+# singleton groups). Scale shape: the (day, role) stats table is BOUNDED
+# (days x 3 roles), so it reduces via per-batch integer-cent partials to
+# a tiny driver merge, broadcasts once through the object store, and the
+# encode pass is a SHUFFLE-FREE map — the group-stats-join-back pattern
+# done without a join.
+# ---------------------------------------------------------------------------
+def q_target_encode(sf_dir: str):
+    import ray as _ray
+    from nfl_feature_store_ray.functions.broadcast import cached_object_get
+
+    ts = transcripts_from_events(sf_dir)
+    pruned = _prune(ts, ["conv_id", "ts", "_seq", "role", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
+             "role": df["role"],
+             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+        )
+        return d.groupby(["day", "role"], as_index=False).agg(
+            sc=("xc", "sum"), n=("xc", "size")
+        )
+
+    parts = pruned.map_batches(partial, batch_format="pandas").to_pandas()
+    stats = parts.groupby(["day", "role"], as_index=False).agg(
+        sc=("sc", "sum"), n=("n", "sum")
+    )
+    stats_ref = _ray.put(stats.set_index(["day", "role"]))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        st = cached_object_get(stats_ref)
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        key = pd.MultiIndex.from_arrays([day, df["role"]])
+        sc = st["sc"].reindex(key).to_numpy(np.float64)
+        n = st["n"].reindex(key).to_numpy(np.float64)
+        xc = np.rint(df["value"].to_numpy() * 100.0)
+        loo = np.where(n > 1,
+                       round_half_away((sc - xc) / (100.0 * (n - 1)), 6), np.nan)
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"], "_seq": df["_seq"],
+             "loo_role_day_mean": loo}
+        )
+
+    return pruned.map_batches(encode, batch_format="pandas")
+
+
+SQL_TARGET_ENCODE = f"""{_T},
+s AS (
+  SELECT date_trunc('day', ts) AS day, role,
+         SUM(ROUND(value * 100)) AS sc, COUNT(*) AS n
+  FROM t GROUP BY 1, 2
+)
+SELECT t.conv_id, t._seq,
+       CASE WHEN s.n > 1
+            THEN ROUND((s.sc - ROUND(t.value * 100)) / (100.0 * (s.n - 1)), 6)
+       END AS loo_role_day_mean
+FROM t JOIN s ON date_trunc('day', t.ts) = s.day AND t.role = s.role
+"""
+
+QUERIES["target_encode"] = q_target_encode
+ORACLES["target_encode"] = SQL_TARGET_ENCODE

@@ -116,7 +116,7 @@ EVENT_QUERIES = [
     "w_session_funnel", "split_convs",
     "w_rolling_mode", "asof_nearest", "day_concentration", "cohort_retention",
     "topk_ties_day", "max_concurrency", "json_props", "w_late_events",
-    "w_groups_frame",
+    "w_groups_frame", "target_encode",
 ]
 
 

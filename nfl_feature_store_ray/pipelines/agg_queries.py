@@ -511,6 +511,9 @@ def q_dq_checks(sf_dir: str) -> pd.DataFrame:
         )
 
     sc = ev.map_batches(scalar_partials, batch_format="pandas").to_pandas()
+    if sc.empty:  # zero-block Dataset loses columns; rebuild the schema
+        sc = pd.DataFrame({"n_null_props": pd.Series([], dtype="int64"),
+                           "n_nonpos": pd.Series([], dtype="int64")})
 
     id_parts = ev.map_batches(
         lambda df: df.groupby("event_id", as_index=False).agg(cnt=("event_id", "size")),

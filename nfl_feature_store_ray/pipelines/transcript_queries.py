@@ -3739,6 +3739,11 @@ def q_target_encode(sf_dir: str):
         )
 
     parts = pruned.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:  # zero-block Dataset loses columns; rebuild the schema
+        parts = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                              "role": pd.Series([], dtype=object),
+                              "sc": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
     stats = parts.groupby(["day", "role"], as_index=False).agg(
         sc=("sc", "sum"), n=("n", "sum")
     )

@@ -932,10 +932,14 @@ def edit_distance_pairs(sf_dir: str, max_block: int | None = 4096):
              "blk": pfx24.str.slice(0, EDIT_BLOCK_CHARS)}
         )
 
+    # typed STRING empties (r03 ADVICE): an empty object column becomes an
+    # Arrow null-typed column, which breaks schema unification when Ray
+    # coalesces empty and non-empty candidate blocks into one 8192-pair
+    # DP batch (same hazard the w_turn_overlap fix closed)
     _EMPTY = {"doc_a": pd.Series([], dtype="int64"),
               "doc_b": pd.Series([], dtype="int64"),
-              "s_a": pd.Series([], dtype=object),
-              "s_b": pd.Series([], dtype=object)}
+              "s_a": pd.Series([], dtype="string"),
+              "s_b": pd.Series([], dtype="string")}
 
     def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         # ENUMERATE candidate pairs only (ids + the two prefix strings);

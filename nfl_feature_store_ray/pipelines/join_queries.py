@@ -506,8 +506,8 @@ def q_join_fact_fact(sf_dir: str):
 
 SQL_JOIN_FACT_FACT = """
 SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS month,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_lines,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_lines
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """

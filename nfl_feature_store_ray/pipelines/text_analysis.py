@@ -1549,10 +1549,10 @@ f AS (
   FROM d LEFT JOIN v ON d.tok = v.tok
 )
 SELECT doc_id, COUNT(*) AS n_tokens,
-       SUM(CASE WHEN in_v THEN 0 ELSE 1 END) AS n_oov,
-       SUM(CASE WHEN NOT in_v AND EXISTS (
+       CAST(SUM(CASE WHEN in_v THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN NOT in_v AND EXISTS (
              SELECT 1 FROM v WHERE levenshtein(f.tok, v.tok) <= 1
-           ) THEN 1 ELSE 0 END) AS n_correctable
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_correctable
 FROM f GROUP BY doc_id
 """
 

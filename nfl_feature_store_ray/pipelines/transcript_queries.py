@@ -35,26 +35,40 @@ _W = "PARTITION BY conv_id ORDER BY ts, _seq"
 
 
 
-def _daily_value_partial(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch (day, conv) raw-float value sums (rank-family partial:
-    the 6dp rounding happens once at the bucket final)."""
-    df["day"] = df["ts"].dt.floor("D")
-    return (
-        df.groupby(["day", "conv_id"], as_index=False)["value"].sum().rename(
-            columns={"value": "day_value"}
-        )
-    )
-
-
 def _daily_cents_partial(df: pd.DataFrame) -> pd.DataFrame:
     """Per-batch (day, conv) EXACT integer-cent sums (order-independent;
-    shared by the zscore/percent-rank/share/quartile family)."""
+    shared by the whole rank/zscore/percent-rank/share/quartile family).
+
+    NULL-aware (r03 ADVICE): NaN values are masked to 0 BEFORE the int64
+    cast (an unmasked NaN wraps to INT64_MIN and poisons the group), and
+    `nn` counts non-null values so an all-NULL (day, conv) group survives
+    the partial with nn=0 — SQL GROUP BY keeps that group and SUM returns
+    NULL for it; consumers turn nn==0 into NaN via _final_day_cents."""
+    v = df["value"].to_numpy(dtype="float64")
+    m = ~np.isnan(v)
     d = pd.DataFrame(
         {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
          "conv_id": df["conv_id"],
-         "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+         "xc": np.where(m, np.rint(v * 100.0), 0.0).astype(np.int64),
+         "nn": m.astype(np.int64)}
     )
-    return d.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+    return d.groupby(["day", "conv_id"], as_index=False)[["xc", "nn"]].sum()
+
+
+def _final_day_cents(g: pd.DataFrame):
+    """Merge cents partials into one row per (day, conv) and derive the
+    float view: xcf is the exact cent total as float64, NaN where the
+    group had NO non-null values (== SQL SUM -> NULL)."""
+    d = g.groupby(["day", "conv_id"], as_index=False)[["xc", "nn"]].sum()
+    xcf = np.where(d["nn"].to_numpy() > 0, d["xc"].to_numpy(np.float64), np.nan)
+    return d, xcf
+
+
+def _nan_eq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise equality where NaN == NaN (SQL rank-tie semantics:
+    NULL keys tie with each other — verified against DuckDB DENSE_RANK /
+    CUME_DIST, see the round-4 NULL probes)."""
+    return (a == b) | (np.isnan(a) & np.isnan(b))
 
 
 def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -281,19 +295,22 @@ def q_rank_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
-        # whole days per bucket: final-sum the partials, then rank per day
-        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
-        d["day_value"] = round_half_away(d["day_value"], 6)
+        # whole days per bucket: final-sum the partials, then rank per day.
+        # Exact integer-cent ranking key (r03 ADVICE: a raw-float sum at a
+        # 6dp rounding boundary could flip a rank between engine and SQL);
+        # pandas na_position='last' matches DuckDB NULLS LAST both ways.
+        d, xcf = _final_day_cents(g)
+        d["day_value"] = round_half_away(xcf / 100.0, 6)
         d = d.sort_values(
             ["day", "day_value", "conv_id"], ascending=[True, False, True], kind="mergesort"
         )
         d["day_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
         d["day"] = d["day"].astype("datetime64[us]")
-        return d
+        return d[["day", "conv_id", "day_value", "day_rank"]]
 
     # per-batch partial aggregation, then ONE bucket shuffle on the day key
     # (W9 needs all conversations' values per time bucket co-located)
-    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_rank, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
@@ -301,7 +318,8 @@ def q_rank_day(sf_dir: str):
 
 SQL_RANK_DAY = f"""{_T},
 daily AS (
-  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value
   FROM t GROUP BY 1, 2
 )
 SELECT day, conv_id, day_value,
@@ -463,16 +481,24 @@ def q_rank_composite(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["day"] = df["ts"].dt.floor("D")
-        df["n_err"] = (df["role"] == "tool").astype("int64")
-        return df.groupby(["day", "conv_id"], as_index=False).agg(
-            day_value=("value", "sum"), n_err=("n_err", "sum")
+        # exact integer-cent + NULL-masked partial (r03 ADVICE — the
+        # ranking key must be order-independent and NaN-safe)
+        v = df["value"].to_numpy(dtype="float64")
+        m = ~np.isnan(v)
+        d = pd.DataFrame(
+            {"day": df["ts"].dt.floor("D"), "conv_id": df["conv_id"],
+             "xc": np.where(m, np.rint(v * 100.0), 0.0).astype(np.int64),
+             "nn": m.astype(np.int64),
+             "n_err": (df["role"] == "tool").to_numpy().astype(np.int64)}
         )
+        return d.groupby(["day", "conv_id"], as_index=False).sum()
 
     def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby(["day", "conv_id"], as_index=False).sum()
-        d["day_value"] = round_half_away(d["day_value"], 6)
+        xcf = np.where(d["nn"].to_numpy() > 0, d["xc"].to_numpy(np.float64), np.nan)
+        d["day_value"] = round_half_away(xcf / 100.0, 6)
         d["n_err"] = d["n_err"].astype("int64")
+        d = d.drop(columns=["xc", "nn"])
         # value: higher is better (desc); errors: lower is better (asc)
         d = d.sort_values(["day", "day_value", "conv_id"], ascending=[True, False, True],
                           kind="mergesort")
@@ -496,7 +522,7 @@ def q_rank_composite(sf_dir: str):
 SQL_RANK_COMPOSITE = f"""{_T},
 daily AS (
   SELECT date_trunc('day', ts) AS day, conv_id,
-         ROUND(SUM(value), 6) AS day_value,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value,
          CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
   FROM t GROUP BY 1, 2
 ),
@@ -1207,6 +1233,8 @@ def q_session_stats(sf_dir: str):
             (gap > SESSION_GAP_S).fillna(False).astype("int32")
             .groupby(g["conv_id"]).cumsum()
         )
+        # float cents: NaN values are skipped by the sum like SQL SUM, and
+        # min_count=1 keeps an all-NULL session's avg NULL (not 0)
         g["_c"] = np.rint(g["value"].to_numpy(dtype="float64") * QUANT_SCALE)
         g["_tool"] = (g["role"] == "tool").astype("int64")
         out = g.groupby(["conv_id", "session_id"], as_index=False).agg(
@@ -1214,7 +1242,7 @@ def q_session_stats(sf_dir: str):
             t0=("ts", "min"),
             t1=("ts", "max"),
             n_tool=("_tool", "sum"),
-            _cs=("_c", "sum"),
+            _cs=("_c", lambda s: s.sum(min_count=1)),
         )
         out["duration_s"] = round_half_away(
             (out["t1"] - out["t0"]).dt.total_seconds().astype("float64"), 6
@@ -1248,7 +1276,7 @@ s AS (
 SELECT conv_id, session_id,
        COUNT(*) AS n_turns,
        ROUND(CAST(epoch(MAX(ts) - MIN(ts)) AS DOUBLE), 6) AS duration_s,
-       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
        ROUND(SUM(ROUND(value * 100)) / (100.0 * COUNT(*)), 6) AS avg_value
 FROM s GROUP BY conv_id, session_id
 """
@@ -1622,7 +1650,11 @@ def q_zscore_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def zscore(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+        # NULL-aware: a masked all-NULL group carries xc=0 / nn=0, which
+        # contributes 0 to sx and sx2 — exactly SQL SUM's NULL-skip — while
+        # n (COUNT(*)) still counts the group row; its own z/day_value are
+        # NaN via xcf.
+        d, xcf = _final_day_cents(g)
         xc = d["xc"].to_numpy(np.int64)
         d = d.assign(_xc2=xc * xc)
         grp = d.groupby("day", sort=False)
@@ -1634,11 +1666,11 @@ def q_zscore_day(sf_dir: str):
         with np.errstate(invalid="ignore", divide="ignore"):
             mean = sx / nf
             std = np.sqrt(num.astype(np.float64) / (nf * (nf - 1.0)))
-            z = (xc - mean) / std
+            z = (xcf - mean) / std
         z = np.where((n > 1) & (num > 0), z, np.nan)
         return pd.DataFrame(
             {"day": d["day"].astype("datetime64[us]"), "conv_id": d["conv_id"],
-             "day_value": round_half_away(xc / 100.0, 6),
+             "day_value": round_half_away(xcf / 100.0, 6),
              "z_day": round_half_away(z, 6)}
         )
 
@@ -1770,8 +1802,11 @@ def q_percent_rank_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def prank(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
-        d["day_value"] = round_half_away(d["xc"].to_numpy(np.int64) / 100.0, 6)
+        # NULL-aware: NaN day_values sort last (pandas na_position ==
+        # DuckDB NULLS LAST) and still receive a percent rank — SQL
+        # PERCENT_RANK ranks NULL-ordered rows, it does not skip them.
+        d, xcf = _final_day_cents(g)
+        d["day_value"] = round_half_away(xcf / 100.0, 6)
         d = d.sort_values(["day", "day_value", "conv_id"],
                           ascending=[True, False, True], kind="mergesort")
         grp = d.groupby("day", sort=False)
@@ -1984,8 +2019,10 @@ def q_ntile_day(sf_dir: str):
     B = 4
 
     def bucket_ntile(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
-        d["day_value"] = round_half_away(d["day_value"], 6)
+        # exact integer-cent key (r03 ADVICE); NaN day_values sort last
+        # and still get a tile — SQL NTILE tiles every row incl. NULLs
+        d, xcf = _final_day_cents(g)
+        d["day_value"] = round_half_away(xcf / 100.0, 6)
         d = d.sort_values(
             ["day", "day_value", "conv_id"], ascending=[True, False, True], kind="mergesort"
         ).reset_index(drop=True)
@@ -2001,9 +2038,9 @@ def q_ntile_day(sf_dir: str):
         ) + 1
         d["quartile"] = tile.astype(np.int64)
         d["day"] = d["day"].astype("datetime64[us]")
-        return d
+        return d[["day", "conv_id", "day_value", "quartile"]]
 
-    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_ntile, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
@@ -2011,7 +2048,8 @@ def q_ntile_day(sf_dir: str):
 
 SQL_NTILE_DAY = f"""{_T},
 daily AS (
-  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value
   FROM t GROUP BY 1, 2
 )
 SELECT day, conv_id, day_value,
@@ -2403,8 +2441,11 @@ def q_cume_dist_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def bucket_cume(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
-        d["day_value"] = round_half_away(d["day_value"], 6)
+        # exact integer-cent key (r03 ADVICE); NaN day_values sort last and
+        # tie with EACH OTHER (SQL: NULL peers share a CUME_DIST frame —
+        # pinned by the round-4 DuckDB probe), hence the _nan_eq run test
+        d, xcf = _final_day_cents(g)
+        d["day_value"] = round_half_away(xcf / 100.0, 6)
         d = d.sort_values(["day", "day_value", "conv_id"], kind="mergesort").reset_index(
             drop=True
         )
@@ -2414,17 +2455,18 @@ def q_cume_dist_day(sf_dir: str):
         # run: mark run starts, cumsum into run ids, take each run's max pos
         same_as_next = np.zeros(len(d), dtype=bool)
         if len(d) > 1:
+            dv = d["day_value"].to_numpy(np.float64)
             same_as_next[:-1] = (
                 (d["day"].to_numpy()[:-1] == d["day"].to_numpy()[1:])
-                & (d["day_value"].to_numpy()[:-1] == d["day_value"].to_numpy()[1:])
+                & _nan_eq(dv[:-1], dv[1:])
             )
         run_id = np.concatenate([[0], (~same_as_next)[:-1].cumsum()])
         run_end_pos = pd.Series(pos).groupby(run_id).transform("max").to_numpy(np.int64)
         d["cume_dist"] = round_half_away((run_end_pos + 1) / n, 6)
         d["day"] = d["day"].astype("datetime64[us]")
-        return d
+        return d[["day", "conv_id", "day_value", "cume_dist"]]
 
-    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_cume, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
@@ -2432,7 +2474,8 @@ def q_cume_dist_day(sf_dir: str):
 
 SQL_CUME_DIST_DAY = f"""{_T},
 daily AS (
-  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value
   FROM t GROUP BY 1, 2
 )
 SELECT day, conv_id, day_value,
@@ -2458,17 +2501,20 @@ def q_topk_per_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
-        d["day_value"] = round_half_away(d["day_value"], 6)
+        # exact integer-cent ranking key (r03 ADVICE); NaN day_values sort
+        # last but STILL rank — a <k-conversation day surfaces its NULL
+        # rows in the top-k exactly as SQL ROW_NUMBER does
+        d, xcf = _final_day_cents(g)
+        d["day_value"] = round_half_away(xcf / 100.0, 6)
         d = d.sort_values(
             ["day", "day_value", "conv_id"], ascending=[True, False, True], kind="mergesort"
         )
         d["day_rank"] = (d.groupby("day").cumcount() + 1).astype("int32")
         d = d[d["day_rank"] <= TOPK_PER_DAY]
         d["day"] = d["day"].astype("datetime64[us]")
-        return d
+        return d[["day", "conv_id", "day_value", "day_rank"]]
 
-    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(
         partials, bucket_top, key="day", sort_cols=["day", "conv_id"], num_buckets=32
     )
@@ -2476,7 +2522,8 @@ def q_topk_per_day(sf_dir: str):
 
 SQL_TOPK_PER_DAY = f"""{_T},
 daily AS (
-  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value
   FROM t GROUP BY 1, 2
 ),
 r AS (
@@ -2572,17 +2619,25 @@ def q_agg_weighted_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL-aware (r03 ADVICE): vc is masked before the int cast (an
+        # unmasked NaN wraps to INT64_MIN and poisons w*vc), BOOL_AND-style
+        # all_low aggregates only non-null values (SQL BOOL_AND skips the
+        # NULL comparison results), and nn lets the final reproduce SQL's
+        # all-NULL-day outputs (wmean NULL, all_low NULL).
+        v = df["value"].to_numpy(dtype="float64")
+        m = ~np.isnan(v)
         w = df["text"].fillna("").str.len().to_numpy().astype(np.int64)
-        vc = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        vc = np.where(m, np.rint(v * 100.0), 0.0).astype(np.int64)
         d = pd.DataFrame(
             {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
-             "wc": w * vc, "w": w,
+             "wc": np.where(m, w * vc, 0), "w": w, "nn": m.astype(np.int64),
              "any_tool": df["tool"].notna().to_numpy(),
-             "all_low": (df["value"].to_numpy() < 500.0),
+             "all_low": np.where(m, v < 500.0, True),  # min-identity on NULLs
              "n_high": (vc > 10000).astype(np.int64)}
         )
         return d.groupby("day", as_index=False).agg(
-            wc=("wc", "sum"), w=("w", "sum"), any_tool=("any_tool", "max"),
+            wc=("wc", "sum"), w=("w", "sum"), nn=("nn", "sum"),
+            any_tool=("any_tool", "max"),
             all_low=("all_low", "min"), n_high=("n_high", "sum")
         )
 
@@ -2590,18 +2645,24 @@ def q_agg_weighted_day(sf_dir: str):
     for col in ("wc", "w", "n_high"):
         parts[col] = parts[col].astype(object)  # Python-int exact merge
     g = parts.groupby("day", as_index=False).agg(
-        wc=("wc", "sum"), w=("w", "sum"), any_tool=("any_tool", "max"),
+        wc=("wc", "sum"), w=("w", "sum"), nn=("nn", "sum"),
+        any_tool=("any_tool", "max"),
         all_low=("all_low", "min"), n_high=("n_high", "sum")
     )
     w = g["w"].astype("float64").to_numpy()
     wc = g["wc"].astype("float64").to_numpy()
+    nn = g["nn"].to_numpy(np.int64)
     with np.errstate(invalid="ignore", divide="ignore"):
-        wmean = np.where(w > 0, wc / (w * 100.0), np.nan)
+        wmean = np.where((w > 0) & (nn > 0), wc / (w * 100.0), np.nan)
+    # BOOL_AND over zero non-null comparisons is NULL, not True: surface it
+    # as object None so the frame matches DuckDB's nullable boolean output
+    all_low = np.where(nn > 0, g["all_low"].astype(bool), None)
     return pd.DataFrame(
         {"day": g["day"].astype("datetime64[us]"),
          "wmean_value": round_half_away(wmean, 6),
          "any_tool": g["any_tool"].astype(bool),
-         "all_low": g["all_low"].astype(bool),
+         "all_low": pd.Series(list(all_low), dtype=object)
+         if (nn == 0).any() else g["all_low"].astype(bool),
          "n_high": g["n_high"].astype("int64")}
     )
 
@@ -2702,30 +2763,34 @@ def q_hopping(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         base = (df["ts"].astype("datetime64[us]").astype("int64")
                 // (HOP_S * 1_000_000)).astype("int64")
+        v = df["value"].to_numpy(dtype="float64")
+        m = ~np.isnan(v)  # NULL-masked cents (r03 ADVICE: NaN->int wraps)
         d = pd.DataFrame(
             {"conv_id": df["conv_id"], "m0": base,
-             "vc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64),
+             "vc": np.where(m, np.rint(v * 100.0), 0.0).astype(np.int64),
+             "nn": m.astype(np.int64),
              "n": np.int64(1)}
         )
         # pre-aggregate at the finest hop grain FIRST, then replicate the
         # small partial rows per offset k (ships 3x partials, not 3x rows)
         g = d.groupby(["conv_id", "m0"], as_index=False).agg(
-            n=("n", "sum"), c=("vc", "sum"))
+            n=("n", "sum"), c=("vc", "sum"), nn=("nn", "sum"))
         reps = []
         for k in range(_HOP_K):
             r = g.copy()
             r["m"] = r["m0"] - k
             reps.append(r)
         out = pd.concat(reps, ignore_index=True)
-        return out[["conv_id", "m", "n", "c"]]
+        return out[["conv_id", "m", "n", "c", "nn"]]
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby(["conv_id", "m"], as_index=False)[["n", "c"]].sum()
+        g = group.groupby(["conv_id", "m"], as_index=False)[["n", "c", "nn"]].sum()
+        cf = np.where(g["nn"].to_numpy() > 0, g["c"].to_numpy(np.float64), np.nan)
         return pd.DataFrame(
             {"conv_id": g["conv_id"],
              "win_start": (g["m"] * HOP_S).astype("int64"),
              "n_turns": g["n"].astype("int64"),
-             "sum_value": round_half_away(g["c"] / 100.0, 6)}
+             "sum_value": round_half_away(cf / 100.0, 6)}
         )
 
     partials = ts.map_batches(partial, batch_format="pandas")
@@ -2816,14 +2881,17 @@ def q_share_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def share(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
+        # NULL-aware: masked zeros make tot == SQL's NULL-skipping SUM;
+        # the numerator uses xcf so a NULL conversation's share is NaN
+        # (and an all-NULL day's tot==0 path yields NaN, == SQL's NULL
+        # total making the CASE predicate NULL)
+        d, xcf = _final_day_cents(g)
         tot = d.groupby("day", sort=False)["xc"].transform("sum").to_numpy(np.int64)
-        xc = d["xc"].to_numpy(np.int64)
         with np.errstate(invalid="ignore", divide="ignore"):
-            sh = np.where(tot != 0, xc / tot.astype(np.float64), np.nan)
+            sh = np.where(tot != 0, xcf / tot.astype(np.float64), np.nan)
         return pd.DataFrame(
             {"day": d["day"].astype("datetime64[us]"), "conv_id": d["conv_id"],
-             "day_value": round_half_away(xc / 100.0, 6),
+             "day_value": round_half_away(xcf / 100.0, 6),
              "share_day": round_half_away(sh, 6)}
         )
 
@@ -2908,18 +2976,26 @@ def q_quartile_bucket(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def bucketize(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
-        xc = d["xc"].to_numpy(np.int64)
-        bucket = np.ones(len(d), dtype=np.int64)
+        # NULL-aware: quantile_disc thresholds use non-null day_values only
+        # (SQL skips NULLs); a NULL conversation — or every row of an
+        # all-NULL day — gets a NULL bucket. q_bucket is DOUBLE on both
+        # sides so the schema is stable whether or not NULLs occur.
+        d, xcf = _final_day_cents(g)
+        bucket = np.ones(len(d), dtype=np.float64)
         for day, idx in d.groupby("day", sort=False).indices.items():
-            v = np.sort(xc[idx])
+            vv = xcf[idx]
+            v = np.sort(vv[~np.isnan(vv)])
             n = len(v)
+            if n == 0:
+                bucket[idx] = np.nan
+                continue
             for q in (0.25, 0.5, 0.75):
                 thr = v[max(1, int(np.ceil(q * n))) - 1]  # quantile_disc rank
-                bucket[idx] += (xc[idx] > thr).astype(np.int64)
+                bucket[idx] += (vv > thr).astype(np.float64)
+            bucket[idx] = np.where(np.isnan(vv), np.nan, bucket[idx])
         return pd.DataFrame(
             {"day": d["day"].astype("datetime64[us]"), "conv_id": d["conv_id"],
-             "day_value": round_half_away(xc / 100.0, 6),
+             "day_value": round_half_away(xcf / 100.0, 6),
              "q_bucket": bucket}
         )
 
@@ -2941,7 +3017,7 @@ s AS (
 )
 SELECT d.day, d.conv_id, ROUND(d.xc / 100.0, 6) AS day_value,
        CAST(1 + (d.xc > s.t1)::INT + (d.xc > s.t2)::INT + (d.xc > s.t3)::INT
-            AS BIGINT) AS q_bucket
+            AS DOUBLE) AS q_bucket
 FROM d JOIN s USING (day)
 """
 
@@ -2995,21 +3071,25 @@ def q_hour_profile(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         t = df["ts"].astype("datetime64[us]")
+        v = df["value"].to_numpy(dtype="float64")
+        m = ~np.isnan(v)  # NULL-masked cents (r03 ADVICE: NaN->int wraps)
         d = pd.DataFrame(
             {"hour": t.dt.hour.astype("int64"),
              # pandas dayofweek: Monday=0 -> Postgres dow: Sunday=0
              "dow": ((t.dt.dayofweek + 1) % 7).astype("int64"),
              "role": df["role"],
              "n": np.int64(1),
-             "c": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+             "nn": m.astype(np.int64),
+             "c": np.where(m, np.rint(v * 100.0), 0.0).astype(np.int64)}
         )
         return d.groupby(["hour", "dow", "role"], as_index=False).sum()
 
     parts = ts.map_batches(partial, batch_format="pandas").to_pandas()
     g = parts.groupby(["hour", "dow", "role"], as_index=False).sum()
     g["n"] = g["n"].astype("int64")
-    g["sum_value"] = round_half_away(g["c"] / 100.0, 6)
-    return g.drop(columns=["c"])
+    cf = np.where(g["nn"].to_numpy() > 0, g["c"].to_numpy(np.float64), np.nan)
+    g["sum_value"] = round_half_away(cf / 100.0, 6)
+    return g.drop(columns=["c", "nn"])
 
 
 SQL_HOUR_PROFILE = f"""{_T}
@@ -3316,26 +3396,38 @@ def q_day_concentration(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["xc"].sum()
-        d = d.sort_values(["day", "xc", "conv_id"],
+        # NULL-aware: rank on xcf with NaN last (SQL NULLS LAST); a NULL
+        # conversation inside the top-K contributes nothing (SQL SUM skips
+        # its NULL CASE arm). SQL's SUM(CASE ...) is NULL — not 0 — only
+        # when EVERY row's CASE value is NULL, i.e. the day has <= K
+        # conversations and all of them are all-NULL; total SUM(xc) is
+        # NULL iff the whole day is NULL.
+        d, xcf = _final_day_cents(g)
+        d["_xcf"] = xcf
+        d = d.sort_values(["day", "_xcf", "conv_id"],
                           ascending=[True, False, True], kind="mergesort")
         rk = d.groupby("day", sort=False).cumcount()
-        topc = (
-            d[rk < CONC_TOP_K].groupby("day")["xc"].sum()
-        )
+        in_top = (rk.to_numpy() < CONC_TOP_K) & (d["nn"].to_numpy() > 0)
+        topc = d[in_top].groupby("day")["xc"].sum()
         tot = d.groupby("day")["xc"].sum()
+        day_nn = d.groupby("day")["nn"].sum()
         n = d.groupby("day")["conv_id"].size()
+        t = np.where(day_nn.to_numpy() > 0, tot.to_numpy(np.float64), np.nan)
+        top_is_null = (n.to_numpy() <= CONC_TOP_K) & (day_nn.to_numpy() == 0)
+        c = np.where(
+            top_is_null, np.nan,
+            topc.reindex(tot.index, fill_value=0).to_numpy(np.float64),
+        )
         out = pd.DataFrame(
             {"day": tot.index.astype("datetime64[us]"),
              "n_convs": n.to_numpy(np.int64),
-             "total_value": round_half_away(tot.to_numpy(np.float64) / 100.0, 6),
-             "top10_value": round_half_away(
-                 topc.reindex(tot.index, fill_value=0).to_numpy(np.float64) / 100.0, 6
-             )}
+             "total_value": round_half_away(t / 100.0, 6),
+             "top10_value": round_half_away(c / 100.0, 6)}
         )
-        t = tot.to_numpy(np.float64)
-        c = topc.reindex(tot.index, fill_value=0).to_numpy(np.float64)
-        out["top10_share"] = np.where(t != 0.0, round_half_away(c / t, 6), np.nan)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["top10_share"] = np.where(
+                (t != 0.0) & ~np.isnan(t), round_half_away(c / t, 6), np.nan
+            )
         return out.reset_index(drop=True)
 
     partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
@@ -3451,27 +3543,36 @@ def q_topk_ties_day(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["day", "conv_id"], as_index=False)["day_value"].sum()
-        d["day_value"] = round_half_away(d["day_value"], 6)
+        # exact integer-cent tie key (r03 ADVICE). DENSE_RANK NULL rule:
+        # NaN day_values sort last and tie with each other as ONE dense
+        # rank (DuckDB probe) — hence _nan_eq, not Series.ne (NaN.ne(NaN)
+        # is True, which would give every NULL its own rank).
+        d, xcf = _final_day_cents(g)
+        d["day_value"] = round_half_away(xcf / 100.0, 6)
         d = d.sort_values(["day", "day_value", "conv_id"],
                           ascending=[True, False, True],
                           kind="mergesort").reset_index(drop=True)
-        chg = d["day_value"].ne(
-            d.groupby("day", sort=False)["day_value"].shift()
-        ).astype(np.int64)
+        dv = d["day_value"].to_numpy(np.float64)
+        prev = np.roll(dv, 1)
+        new_day = ~d["day"].eq(d["day"].shift()).to_numpy()
+        chg = pd.Series(
+            np.where(new_day, 1, (~_nan_eq(dv, prev)).astype(np.int64)),
+            index=d.index,
+        )
         d["rnk"] = chg.groupby(d["day"], sort=False).cumsum().astype(np.int64)
         d = d[d["rnk"] <= TOPK_TIES_K]
         d["day"] = d["day"].astype("datetime64[us]")
-        return d
+        return d[["day", "conv_id", "day_value", "rnk"]]
 
-    partials = ts.map_batches(_daily_value_partial, batch_format="pandas")
+    partials = ts.map_batches(_daily_cents_partial, batch_format="pandas")
     return map_conv_buckets(partials, bucket_rank, key="day",
                             sort_cols=["day", "conv_id"], num_buckets=32)
 
 
 SQL_TOPK_TIES_DAY = f"""{_T},
 daily AS (
-  SELECT date_trunc('day', ts) AS day, conv_id, ROUND(SUM(value), 6) AS day_value
+  SELECT date_trunc('day', ts) AS day, conv_id,
+         ROUND(SUM(ROUND(value * 100)) / 100.0, 6) AS day_value
   FROM t GROUP BY 1, 2
 )
 SELECT day, conv_id, day_value, rnk FROM (
@@ -3669,14 +3770,27 @@ def q_groups_frame(sf_dir: str):
         t = g["ts"].to_numpy()
         newg = newc | np.concatenate([[True], t[1:] != t[:-1]])
         gi = pd.Series(newg.astype(np.int64)).groupby(codes, sort=False).cumsum()
-        xc = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
-        d = pd.DataFrame({"c": codes, "gi": gi, "xc": xc})
-        gc = d.groupby(["c", "gi"], sort=False)["xc"].transform("sum")
+        # NULL-masked cents (r03 ADVICE): an all-NULL peer group's own
+        # grp_sum is NULL in SQL (gc NULL propagates through wc), but its
+        # contribution to the NEXT group is 0 (COALESCE(LAG(gc), 0) — a
+        # masked 0 reproduces that), hence nn per peer group.
+        v = g["value"].to_numpy(dtype="float64")
+        mnn = ~np.isnan(v)
+        xc = np.where(mnn, np.rint(v * 100.0), 0.0).astype(np.int64)
+        d = pd.DataFrame({"c": codes, "gi": gi, "xc": xc,
+                          "nn": mnn.astype(np.int64)})
+        grp = d.groupby(["c", "gi"], sort=False)
+        gc = grp["xc"].transform("sum")
+        gnn = grp["nn"].transform("sum").to_numpy(np.int64)
         # previous peer group's sum: first-row-of-group lookup shifted one
         firsts = d.loc[newg, ["c", "gi"]].assign(gc=gc[newg].to_numpy())
         firsts["prev"] = firsts.groupby("c", sort=False)["gc"].shift().fillna(0)
         m = d.merge(firsts[["c", "gi", "prev"]], on=["c", "gi"], how="left")
-        total = gc.to_numpy(np.int64) + m["prev"].to_numpy(np.int64)
+        total = np.where(
+            gnn > 0,
+            (gc.to_numpy(np.int64) + m["prev"].to_numpy(np.int64)).astype(np.float64),
+            np.nan,
+        )
         turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
         return pd.DataFrame(
             {"conv_id": g["conv_id"], "turn_idx": turn_idx,
@@ -3729,10 +3843,15 @@ def q_target_encode(sf_dir: str):
     pruned = _prune(ts, ["conv_id", "ts", "_seq", "role", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL-masked cents (r03 ADVICE): sc skips NULL values like SQL SUM
+        # while n stays COUNT(*); a NULL row's own encoding goes NaN in the
+        # encode pass anyway (sc - NaN), matching the oracle's NULL.
+        v = df["value"].to_numpy(dtype="float64")
+        m = ~np.isnan(v)
         d = pd.DataFrame(
             {"day": df["ts"].astype("datetime64[us]").dt.floor("D"),
              "role": df["role"],
-             "xc": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)}
+             "xc": np.where(m, np.rint(v * 100.0), 0.0).astype(np.int64)}
         )
         return d.groupby(["day", "role"], as_index=False).agg(
             sc=("xc", "sum"), n=("xc", "size")

@@ -144,18 +144,33 @@ def equi_join(
         is_left = group[_SIDE_COL].to_numpy() == 0
         lf = _restore(group.loc[is_left, left_out].reset_index(drop=True), left_dtypes)
         rf = _restore(group.loc[~is_left, right_out].reset_index(drop=True), right_dtypes)
+        # SQL equi-join semantics: NULL keys never match (pandas merge
+        # matches NaN to NaN — r03 ADVICE). Null-keyed rows are excluded
+        # from the match path and re-appended as dangling rows for the
+        # outer variants / kept by anti (NOT EXISTS never finds a match).
+        lnull = lf[lkey].isna().any(axis=1).to_numpy()
+        rnull = rf[rkey].isna().any(axis=1).to_numpy()
         if how in ("semi", "anti"):
             # vectorized membership: indicator merge against the DEDUPED
-            # right keys keeps left multiplicity and stays C-path
-            probe = rf[rkey].drop_duplicates()
+            # non-null right keys keeps left multiplicity and stays C-path
+            probe = rf.loc[~rnull, rkey].drop_duplicates()
             m = lf.merge(
                 probe, left_on=lkey, right_on=rkey, how="left", indicator=True
             )
-            keep = (m["_merge"] == "both") if how == "semi" else (m["_merge"] == "left_only")
-            return m.loc[keep.to_numpy(), left_out].reset_index(drop=True)
+            matched = (m["_merge"] == "both").to_numpy() & ~lnull
+            keep = matched if how == "semi" else ~matched
+            return m.loc[keep, left_out].reset_index(drop=True)
+        lm, rm = lf.loc[~lnull], rf.loc[~rnull]
         if same_keys:
-            return lf.merge(rf, on=list(on_t), how=how)
-        return lf.merge(rf, left_on=lkey, right_on=rkey, how=how)
+            core = lm.merge(rm, on=list(on_t), how=how)
+        else:
+            core = lm.merge(rm, left_on=lkey, right_on=rkey, how=how)
+        parts = [core]
+        if how in ("left", "outer") and lnull.any():
+            parts.append(lf.loc[lnull].reindex(columns=core.columns))
+        if how in ("right", "outer") and rnull.any():
+            parts.append(rf.loc[rnull].reindex(columns=core.columns))
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else core
 
     return both.groupby(BUCKET_COL).map_groups(
         lambda g: merge_bucket(g.drop(columns=[BUCKET_COL])), batch_format="pandas"

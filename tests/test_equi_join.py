@@ -88,3 +88,42 @@ def test_equi_join_sparse_keys_many_partitions():
     assert sorted(got["rv"].dropna()) == sorted(want["rv"].dropna())
     # both dangling sides survive
     assert got["k"].isna().sum() == 1 and got["rk"].isna().sum() == 3
+
+
+def test_equi_join_null_keys_never_match():
+    """SQL equi-join semantics (r03 ADVICE): NULL join keys never match —
+    pandas merge would match NaN to NaN. Null-keyed rows must vanish from
+    inner/semi, be kept by anti (NOT EXISTS finds nothing), and survive as
+    dangling rows in the outer variants. Verified against DuckDB."""
+    import duckdb
+
+    left = pd.DataFrame({"k": [1.0, 2.0, np.nan, np.nan, 3.0],
+                         "lv": [10, 20, 30, 40, 50]})
+    right = pd.DataFrame({"k": [1.0, np.nan, 4.0], "rv": [100, 200, 400]})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sql in [
+        ("inner", "SELECT l.k, lv, rv FROM l JOIN r USING (k)"),
+        ("left", "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)"),
+        ("semi", "SELECT k, lv FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)"),
+        ("anti", "SELECT k, lv FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)"),
+    ]:
+        got = equi_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", how=how, num_partitions=4,
+        ).to_pandas()
+        want = con.execute(sql).df()
+        assert len(got) == len(want), f"{how}: rows {len(got)} != {len(want)}"
+        assert sorted(got["lv"].tolist()) == sorted(want["lv"].tolist()), how
+    # outer: every null-keyed row survives exactly once, unmatched
+    got = equi_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", how="outer", num_partitions=4,
+    ).to_pandas()
+    want = con.execute(
+        "SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l FULL JOIN r ON l.k = r.k"
+    ).df()
+    assert len(got) == len(want)
+    assert sorted(got["lv"].dropna().tolist()) == sorted(want["lv"].dropna().tolist())
+    assert sorted(got["rv"].dropna().tolist()) == sorted(want["rv"].dropna().tolist())

@@ -234,6 +234,94 @@ def test_emb_fuzz_query_matches_oracle(name, emb_fuzz_dir):
     assert (a == b).all(), f"{name}: values differ"
 
 
+# --------------------------------------------------------------------------
+# NULL-value EVENTS corpus (round 4, from ADVICE): same shape as the events
+# fuzz but ~8% of `value` is NULL — the hazard class where an unmasked
+# NaN->int64 cents cast wraps to INT64_MIN and poisons a group sum, and
+# where all-NULL (day, conv) groups must keep SQL's NULL-propagation
+# (SUM -> NULL, NULLS LAST ordering, NULL rank ties). Queries join this
+# list as they are NULL-hardened; the remaining value-window kernels
+# (EWMA/rolling etc.) document value-non-null as a contract instead.
+# --------------------------------------------------------------------------
+NULL_EVENTS_FUZZ_DIR = "/tmp/nfl_fs_fuzz_nullval_test"
+
+NULL_VALUE_QUERIES = [
+    "w_rank_day", "w_ntile_day", "w_cume_dist_day", "topk_per_day",
+    "topk_ties_day", "w_percent_rank_day", "w_zscore_day", "w_share_day",
+    "w_quartile_bucket", "day_concentration", "w_rank_composite",
+    "agg_weighted_day", "w_hopping", "agg_hour_profile", "w_groups_frame",
+    "target_encode", "session_stats",
+    "percentile_day", "w_mad_day", "w_first_value", "w_lag_k",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_fuzz_dir():
+    rng = np.random.default_rng(991)
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-05-01")
+    types = ["click", "view", "purchase", "signup", "error", "search", "refund"]
+    for u in range(40):
+        # u % 11 == 0 -> single-event conversations; combined with the 8%
+        # NULL rate these yield genuine all-NULL (day, conv) groups
+        n = 1 if u % 11 == 0 else int(rng.integers(2, 50))
+        t = base + pd.Timedelta(minutes=int(rng.integers(0, 5000)))
+        for k in range(n):
+            r = rng.random()
+            if r < 0.15 and k > 0:
+                dt = pd.Timedelta(0)
+            elif r < 0.25:
+                dt = pd.Timedelta(hours=30)
+            else:
+                dt = pd.Timedelta(seconds=int(rng.integers(1, 400)))
+            t = t + dt
+            v = None if rng.random() < 0.08 else float(np.round(rng.random() * 300, 2))
+            # a few conversations are ENTIRELY null-valued
+            if u % 17 == 0:
+                v = None
+            rows.append((eid, t, u, types[int(rng.integers(0, len(types)))],
+                         v, '{"k": %d}' % int(rng.integers(0, 99))))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                     "value", "props"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["value"] = ev["value"].astype("float64")
+    shutil.rmtree(NULL_EVENTS_FUZZ_DIR, ignore_errors=True)
+    os.makedirs(NULL_EVENTS_FUZZ_DIR)
+    ev.to_parquet(os.path.join(NULL_EVENTS_FUZZ_DIR, "events.parquet"), index=False)
+    yield NULL_EVENTS_FUZZ_DIR
+
+
+@pytest.mark.parametrize("name", NULL_VALUE_QUERIES)
+def test_null_value_fuzz_query_matches_oracle(name, null_events_fuzz_dir):
+    import __ray_entry__ as e
+
+    r = e.queries()[name](null_events_fuzz_dir)
+    r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_events_fuzz_dir}/events.parquet')"
+    )
+    s = con.execute(e.oracle_sql()[name]).df()
+    assert len(r) == len(s), f"{name}: rows {len(r)} != {len(s)}"
+    cols = sorted(r.columns)
+    assert cols == sorted(s.columns), name
+    rr, ss = r[cols].copy(), s[cols].copy()
+    for c in cols:
+        if rr[c].dtype.kind in "fc" or ss[c].dtype.kind in "fc":
+            rr[c] = rr[c].astype(float).round(6)
+            ss[c] = ss[c].astype(float).round(6)
+        if rr[c].dtype.kind == "M":
+            rr[c] = rr[c].astype("datetime64[us]")
+        if ss[c].dtype.kind == "M":
+            ss[c] = ss[c].astype("datetime64[us]")
+    a = np.sort(rr.astype(str).agg("|".join, axis=1).to_numpy())
+    b = np.sort(ss.astype(str).agg("|".join, axis=1).to_numpy())
+    diff = np.where(a != b)[0]
+    assert (a == b).all(), f"{name}: values differ, first diffs {a[diff[:3]]} vs {b[diff[:3]]}"
+
+
 def test_skew_tokens_long_doc_no_overflow(tmp_path, ray_session):
     """Regression: a ~60k-token document wraps c^4 in int64 (1.3e19 >
     2^63); the partial must switch to exact Python-int sums and still

@@ -31,12 +31,39 @@ def _to_pandas(res) -> pd.DataFrame:
     return res
 
 
+def _dtype_class(dt) -> str:
+    """Coarse dtype class mirroring the driver's typed value-hash: an int64
+    engine column vs a float64 oracle column (e.g. an uncast DuckDB
+    SUM(int) -> HUGEINT -> float64) must FAIL here, not only at the driver
+    (r03 verdict #2: session_stats reached the driver before any local gate)."""
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k in "fc":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    return "object"
+
+
 def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} != {len(sql_df)}"
     rcols, scols = sorted(ray_df.columns), sorted(sql_df.columns)
     assert rcols == scols, f"{name}: columns {rcols} != {scols}"
     r = ray_df[rcols].copy()
     s = sql_df[rcols].copy()
+    for c in rcols:
+        rk, sk = _dtype_class(r[c].dtype), _dtype_class(s[c].dtype)
+        # a fully-NULL duckdb column surfaces as object/float; only enforce
+        # kind equality when both sides are concretely typed numerics/bools
+        if {rk, sk} <= {"int", "float", "bool"}:
+            assert rk == sk, (
+                f"{name}.{c}: dtype-kind drift engine={r[c].dtype}({rk}) "
+                f"oracle={s[c].dtype}({sk}) — driver typed hash would fail; "
+                f"CAST the oracle aggregate or fix the engine dtype"
+            )
     # canonical row order: sort by stringified row (order-insensitive compare)
     for df in (r, s):
         for c in rcols:

@@ -48,6 +48,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     window_features(
         transcripts_from_events(sf_dir).limit(2000), metrics=("value",)
     ).count()
+    # ... and the DOCUMENT path (r03 verdict #6: dedup_minhash_lsh showed
+    # max/min 6.7 because each fresh worker pays a one-time import +
+    # first-call kernel/allocator warmup of ~4-7s inside _lists_and_bands;
+    # one untimed full pass faults that in on every worker the timed reps
+    # will use, so median tracks min)
+    q_dedup_minhash_lsh(sf_dir).count()
 
     def consume(ds):
         if hasattr(ds, "iter_batches"):

@@ -1320,6 +1320,89 @@ QUERIES["w_time_decay"] = q_time_decay  # rows-only (no exact SQL possible)
 
 
 # ---------------------------------------------------------------------------
+# DYADIC time decay — the hash-exactly gateable sibling of w_time_decay
+# (r03 verdict #5): state is an integer cent sum halved once per elapsed
+# MINUTE via a right shift, so every operation is exact integer arithmetic
+# on both engines (the same fixed-point discipline that made pagerank
+# bit-equal to its unrolled oracle). Semantics per conversation in
+# (ts, _seq) order, c_i = max(round(value*100), 0) (clamp keeps the state
+# non-negative so >> == DuckDB's // which truncates toward zero):
+#     prior_i = s_{i-1} >> min(63, gap_minutes_i)     (output, strictly prior)
+#     s_i     = prior_i + c_i
+# The continuous-exp variant stays rows-only (libm ulp divergence).
+# ---------------------------------------------------------------------------
+DYADIC_DECAY_US = 60_000_000  # one halving per elapsed minute
+
+
+def q_time_decay_dyadic(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "value"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        codes = pd.factorize(g["conv_id"])[0].astype(np.int64)
+        v = g["value"].to_numpy(dtype="float64")
+        c = np.where(np.isnan(v), 0.0, np.maximum(np.rint(v * 100.0), 0.0)).astype(np.int64)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        prev_us = np.roll(us, 1)
+        gap_min = np.maximum((us - prev_us) // DYADIC_DECAY_US, 0)
+        n = len(g)
+        out = np.zeros(n, dtype=np.int64)
+        if n:
+            # codes ascend with the sort, so conversations are contiguous:
+            # step turn POSITIONS, vectorized across every conversation in
+            # the bucket (loop length = longest conversation, not rows)
+            starts = np.unique(codes, return_index=True)[1]
+            lens = np.bincount(codes)
+            s = np.zeros(len(starts), dtype=np.int64)
+            for p in range(int(lens.max())):
+                act = np.where(lens > p)[0]
+                ridx = starts[act] + p
+                if p == 0:
+                    prior = np.zeros(len(act), dtype=np.int64)
+                else:
+                    prior = s[act] >> np.minimum(gap_min[ridx], 63)
+                out[ridx] = prior
+                s[act] = prior + c[ridx]
+        turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "turn_idx": turn_idx,
+             "decay_sum": round_half_away(out.astype(np.float64) / 100.0, 6)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_TIME_DECAY_DYADIC = f"""WITH RECURSIVE t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+g AS (
+  SELECT conv_id, turn_idx,
+         CAST(GREATEST(COALESCE(ROUND(value * 100), 0), 0) AS BIGINT) AS c,
+         COALESCE(
+           (epoch_us(ts) - epoch_us(LAG(ts) OVER ({_W}))) // {DYADIC_DECAY_US},
+           0) AS gap_min
+  FROM t
+),
+rec AS (
+  SELECT conv_id, turn_idx, CAST(0 AS BIGINT) AS prior, c AS s
+  FROM g WHERE turn_idx = 0
+  UNION ALL
+  SELECT g.conv_id, g.turn_idx,
+         CASE WHEN g.gap_min >= 63 THEN 0
+              ELSE rec.s // (CAST(1 AS BIGINT) << g.gap_min) END AS prior,
+         CASE WHEN g.gap_min >= 63 THEN 0
+              ELSE rec.s // (CAST(1 AS BIGINT) << g.gap_min) END + g.c AS s
+  FROM rec JOIN g ON g.conv_id = rec.conv_id AND g.turn_idx = rec.turn_idx + 1
+)
+SELECT conv_id, turn_idx, ROUND(prior / 100.0, 6) AS decay_sum
+FROM rec
+"""
+
+QUERIES["w_time_decay_dyadic"] = q_time_decay_dyadic
+ORACLES["w_time_decay_dyadic"] = SQL_TIME_DECAY_DYADIC
+
+
+# ---------------------------------------------------------------------------
 # trailing-window DISTINCT count: distinct tools used in the prior 24h
 # (RANGE frame incl. ts peers) — the "distinct items in trailing window"
 # feature family (fraud/abuse-style recency features)

@@ -116,7 +116,7 @@ EVENT_QUERIES = [
     "w_session_funnel", "split_convs",
     "w_rolling_mode", "asof_nearest", "day_concentration", "cohort_retention",
     "topk_ties_day", "max_concurrency", "json_props", "w_late_events",
-    "w_groups_frame", "target_encode",
+    "w_groups_frame", "target_encode", "w_time_decay_dyadic",
 ]
 
 
@@ -252,6 +252,7 @@ NULL_VALUE_QUERIES = [
     "agg_weighted_day", "w_hopping", "agg_hour_profile", "w_groups_frame",
     "target_encode", "session_stats",
     "percentile_day", "w_mad_day", "w_first_value", "w_lag_k",
+    "w_time_decay_dyadic",
 ]
 
 

@@ -23,6 +23,8 @@ stop-shingle handling), never silently.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
@@ -618,6 +620,10 @@ CC_MAX_ROUNDS = 16
 # below this edge count the driver union-find fast-path runs; above it the
 # distributed BSP rounds do (module-level so tests can force either path)
 CC_DRIVER_MAX_EDGES = 2_000_000
+# observability: rounds the last q_dedup_clusters BSP loop took (0 = the
+# driver fast-path or empty graph); lets stress harnesses record
+# rounds-to-convergence without instrumenting the loop
+CC_LAST_ROUNDS = 0
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -655,8 +661,13 @@ def q_dedup_clusters(sf_dir: str):
     # action each) dwarf the actual work; a numpy union-find on the driver
     # is exact and instant. Above it — the 100-TB regime where the pair
     # graph itself is big — the distributed rounds below take over.
+    global CC_LAST_ROUNDS
+    CC_LAST_ROUNDS = 0
     n_edges = edges.count()
-    if n_edges <= CC_DRIVER_MAX_EDGES:
+    # env override (ops/stress knob): force the distributed BSP path with
+    # CC_DRIVER_MAX_EDGES=0, or raise the driver bound on fat-driver nodes
+    max_edges = int(os.environ.get("CC_DRIVER_MAX_EDGES", CC_DRIVER_MAX_EDGES))
+    if n_edges <= max_edges:
         e = edges.to_pandas()
         src = e["src"].to_numpy(dtype=np.int64)
         dst = e["dst"].to_numpy(dtype=np.int64)
@@ -745,8 +756,9 @@ def q_dedup_clusters(sf_dir: str):
 
         return map_conv_buckets(mid, combine, key="k", sort_cols=["k"], num_buckets=8)
 
-    for _ in range(CC_MAX_ROUNDS):
+    for rnd in range(CC_MAX_ROUNDS):
         labels = _round(labels).materialize()
+        CC_LAST_ROUNDS = rnd + 1
         if labels.sum("changed") == 0:
             break
     else:

@@ -144,12 +144,17 @@ def q_agg_career(sf_dir: str):
         # exact integer cents (schemas.QUANT_SCALE): partial sums are
         # order-independent, so ratio ties round identically to the oracle
         df["vc"] = np.rint(df["value"].to_numpy() * 100.0)
+        # min_count keeps an all-NULL conversation's total NULL (SQL SUM)
         return df.groupby("conv_id", as_index=False).agg(
-            total_c=("vc", "sum"), n_turns=("n_turns", "sum"), n_tool=("n_tool", "sum")
+            total_c=("vc", lambda s: s.sum(min_count=1)),
+            n_turns=("n_turns", "sum"), n_tool=("n_tool", "sum")
         )
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("conv_id", as_index=False).sum()
+        g = group.groupby("conv_id", as_index=False).agg(
+            total_c=("total_c", lambda s: s.sum(min_count=1)),
+            n_turns=("n_turns", "sum"), n_tool=("n_tool", "sum")
+        )
         # ratio metrics from summed numerators/denominators (A11 semantics)
         g["total_value"] = g["total_c"] / 100.0
         g["value_per_turn"] = g["total_c"] / (100.0 * g["n_turns"])
@@ -226,14 +231,17 @@ def q_pair_join(sf_dir: str):
             vc=np.rint(df["value"].to_numpy() * 100.0),
             n=1,
         )
+        # min_count keeps an all-NULL (day, conv) feature NULL (SQL SUM)
         return df.groupby(["day", "conv_id"], as_index=False).agg(
-            day_c=("vc", "sum"), n_turns=("n", "sum")
+            day_c=("vc", lambda s: s.sum(min_count=1)), n_turns=("n", "sum")
         )
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         # whole days per bucket: finalize the feature table, build the
         # pair-event table, then join the feature table TWICE (J6 shape)
-        f = g.groupby(["day", "conv_id"], as_index=False).sum()
+        f = g.groupby(["day", "conv_id"], as_index=False).agg(
+            day_c=("day_c", lambda s: s.sum(min_count=1)), n_turns=("n_turns", "sum")
+        )
         f["day_value"] = round_half_away(f["day_c"] / 100.0, 6)
         f["n_turns"] = f["n_turns"].astype("int64")
         f = f.drop(columns=["day_c"])

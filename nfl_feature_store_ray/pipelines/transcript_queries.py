@@ -330,12 +330,18 @@ FROM daily
 
 
 def _daily_cents(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-(conv, day) value sums in exact integer cents (QUANT_SCALE)."""
+    """Per-(conv, day) value sums in exact integer cents (QUANT_SCALE).
+
+    Float cents so NaN values are skipped like SQL SUM; min_count keeps an
+    ALL-NULL day's sum NaN (SQL NULL) — downstream carry-fill then treats
+    it exactly like a missing grid day (LAST_VALUE IGNORE NULLS)."""
     df = df.assign(
         day=df["ts"].astype("datetime64[us]").dt.floor("D"),
         vc=np.rint(df["value"].to_numpy() * 100.0),
     )
-    return df.groupby(["conv_id", "day"], as_index=False).agg(day_c=("vc", "sum"))
+    return df.groupby(["conv_id", "day"], as_index=False).agg(
+        day_c=("vc", lambda s: s.sum(min_count=1))
+    )
 
 
 def _dense_day_grid(daily: pd.DataFrame, lo: pd.Series, hi: pd.Series) -> pd.DataFrame:
@@ -439,9 +445,24 @@ def q_asof_checkpoint(sf_dir: str):
 
     def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
         cnt = df.groupby("conv_id", sort=False).cumcount().astype("float64")
-        # cents-exact inclusive running mean (order-independent; QUANT_SCALE)
-        vc = pd.Series(np.rint(df["value"].to_numpy() * 100.0), index=df.index)
-        incl = vc.groupby(df["conv_id"], sort=False).cumsum() / (100.0 * (cnt + 1.0))
+        # cents-exact inclusive running mean (order-independent;
+        # QUANT_SCALE). NULL-aware: masked running sum == SQL SUM's
+        # NULL-skip (pandas cumsum would pin NaN AT the null row where SQL
+        # still yields the running total), and a prefix with NO non-null
+        # values yet is NULL (SQL SUM over zero non-null rows).
+        v = df["value"].to_numpy(dtype="float64")
+        mn = ~np.isnan(v)
+        vc = pd.Series(np.where(mn, np.rint(v * 100.0), 0.0), index=df.index)
+        run = vc.groupby(df["conv_id"], sort=False).cumsum()
+        run_nn = (
+            pd.Series(mn.astype("float64"), index=df.index)
+            .groupby(df["conv_id"], sort=False).cumsum()
+        )
+        incl = pd.Series(
+            np.where(run_nn.to_numpy() > 0,
+                     run.to_numpy() / (100.0 * (cnt.to_numpy() + 1.0)), np.nan),
+            index=df.index,
+        )
         df = df.assign(turn_idx=cnt.astype("int32"), ckpt_value=incl)
         ck = df.loc[df["turn_idx"] % 10 == 0, ["conv_id", "ts", "ckpt_value"]]
         turns = df[["conv_id", "turn_idx", "ts"]]
@@ -626,14 +647,19 @@ def q_tumbling(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # pin to microsecond epoch regardless of the block's datetime unit
         win = (df["ts"].astype("datetime64[us]").astype("int64") // (width_s * 1_000_000)).astype("int64")
-        # exact integer cents -> order-independent partial sums (QUANT_SCALE)
+        # exact integer cents -> order-independent partial sums (QUANT_SCALE);
+        # float cents + min_count keep SQL NULL semantics: NaN skipped by
+        # the sum, an ALL-NULL (conv, win) group stays NaN (SQL SUM ->
+        # NULL) instead of folding to 0
         df = df.assign(win=win, n=1, vc=np.rint(df["value"].to_numpy() * 100.0))
         return df.groupby(["conv_id", "win"], as_index=False).agg(
-            n_turns=("n", "sum"), sum_c=("vc", "sum")
+            n_turns=("n", "sum"), sum_c=("vc", lambda s: s.sum(min_count=1))
         )
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby(["conv_id", "win"], as_index=False).sum()
+        g = group.groupby(["conv_id", "win"], as_index=False).agg(
+            n_turns=("n_turns", "sum"), sum_c=("sum_c", lambda s: s.sum(min_count=1))
+        )
         g["n_turns"] = g["n_turns"].astype("int64")
         g["mean_value"] = round_half_away(g["sum_c"] / (100.0 * g["n_turns"]), 6)
         g["sum_value"] = round_half_away(g["sum_c"] / 100.0, 6)
@@ -981,14 +1007,20 @@ def _asof_daily_sides(sf_dir: str, side_col: str = "day_value"):
     )
 
     def daily_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # min_count keeps an all-NULL (conv, day) summary NULL (SQL SUM),
+        # so the as-of backfill carries a NULL summary — not a spurious 0
         df = df.assign(
             day=df["ts"].astype("datetime64[us]").dt.floor("D"),
             vc=np.rint(df["value"].to_numpy() * 100.0),
         )
-        return df.groupby(["conv_id", "day"], as_index=False).agg(day_c=("vc", "sum"))
+        return df.groupby(["conv_id", "day"], as_index=False).agg(
+            day_c=("vc", lambda s: s.sum(min_count=1))
+        )
 
     def daily_final(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.groupby(["conv_id", "day"], as_index=False)["day_c"].sum()
+        d = g.groupby(["conv_id", "day"], as_index=False).agg(
+            day_c=("day_c", lambda s: s.sum(min_count=1))
+        )
         return pd.DataFrame(
             {
                 "conv_id": d["conv_id"],
@@ -1052,7 +1084,10 @@ def q_sliding_window(sf_dir: str):
         assert int(ordinal[-1] if len(ordinal) else 0) * int(band) < (1 << 62), \
             "sliding-window band overflow: split the bucket (raise num_buckets)"
         t_adj = ordinal.astype(np.int64) * band + rel
-        cum = np.concatenate([[0.0], np.cumsum(vc)])
+        # masked prefix sum == SQL SUM's NULL-skip; the self-subtraction
+        # below keeps RAW vc so a NULL current row yields NULL (SQL:
+        # number - NULL), and n_24h is positional (COUNT(*)) either way
+        cum = np.concatenate([[0.0], np.cumsum(np.where(np.isnan(vc), 0.0, vc))])
         lo = np.searchsorted(t_adj, t_adj - slide_us, side="left")
         hi = np.searchsorted(t_adj, t_adj, side="right")
         g = df.groupby("conv_id", sort=False).cumcount()
@@ -1671,20 +1706,30 @@ def q_agg_variance(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        # NULL-masked cents: SQL's SUM skips NULL vc while COUNT(*) keeps
+        # the row, so c/c2 mask to 0 and n counts everything; nn lets the
+        # final emit NULL variance for an all-NULL conversation. (Fun
+        # fact, documented for the reviewer: the UNmasked cast is wrap-
+        # immune here — each NaN adds 2^63 to s, and (S + k*2^63)^2 ===
+        # S^2 (mod 2^64) — but relying on that is obscurity, not safety.)
+        v = df["value"].to_numpy(dtype="float64")
+        m = ~np.isnan(v)
+        vc = np.where(m, np.rint(v * 100.0), 0.0).astype(np.int64)
         d = pd.DataFrame(
-            {"conv_id": df["conv_id"], "c": vc, "c2": vc * vc, "n": np.int64(1)}
+            {"conv_id": df["conv_id"], "c": vc, "c2": vc * vc,
+             "n": np.int64(1), "nn": m.astype(np.int64)}
         )
         return d.groupby("conv_id", as_index=False).sum()
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("conv_id", as_index=False)[["c", "c2", "n"]].sum()
+        g = group.groupby("conv_id", as_index=False)[["c", "c2", "n", "nn"]].sum()
         n = g["n"].to_numpy(np.int64)
+        nn = g["nn"].to_numpy(np.int64)
         num = n * g["c2"].to_numpy(np.int64) - g["c"].to_numpy(np.int64) ** 2
         nf = n.astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             var = num.astype(np.float64) / (10000.0 * nf * (nf - 1.0))
-            var = np.where(n > 1, var, np.nan)
+            var = np.where((n > 1) & (nn > 0), var, np.nan)
             std = np.sqrt(var)
         return pd.DataFrame(
             {"conv_id": g["conv_id"], "n_turns": n,

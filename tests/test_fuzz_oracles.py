@@ -253,7 +253,29 @@ NULL_VALUE_QUERIES = [
     "target_encode", "session_stats",
     "percentile_day", "w_mad_day", "w_first_value", "w_lag_k",
     "w_time_decay_dyadic",
+    # verified NULL-clean by the round-4 full-registry sweep (value NULLs
+    # never reach an int cast / their pandas kernels already share SQL's
+    # NULL-skip semantics)
+    "w_lag_gap", "w_rolling", "w_sliding_distinct", "w_label_split",
+    "resume_manifest", "parse_props", "w_turn_overlap", "w_novelty",
+    "w_rolling_median", "role_transitions", "w_cummax", "w_expanding_corr",
+    "w_streak", "w_conv_text", "rollup_day_role", "clean_text",
+    "w_expanding_distinct", "set_ops_convs", "cube_day_role",
+    "w_response_latency", "w_pattern_count", "dedup_consecutive",
+    "agg_tool_set", "w_session_funnel", "split_convs", "w_rolling_mode",
+    "cohort_retention", "max_concurrency", "json_props", "w_late_events",
+    # all-NULL-group semantics fixed in round 4 (min_count=1 partials /
+    # nn counters; SQL SUM -> NULL preserved through carry/as-of/ranking)
+    "agg_variance", "w_tumbling", "w_densify", "w_densify_seeded",
+    "pair_join", "agg_career", "topk_convs", "w_asof_forward",
+    "asof_tolerance", "asof_nearest", "asof_daily",
+    "w_sliding_window", "w_asof_checkpoint",
 ]
+# NOT in the NULL gate (documented value-non-null contract, PARITY.md):
+# w_session_avg / w_phase_windows / wide_slice / w_rolling_streaming /
+# w_incremental_append ride the flagship expanding/EWMA cumsum kernels,
+# whose NULL semantics (pandas ewm/cumsum NaN handling) differ from SQL
+# AVG-skip; the driver corpora carry no NULL values.
 
 
 @pytest.fixture(scope="module")

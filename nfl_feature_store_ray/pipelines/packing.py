@@ -348,3 +348,88 @@ FROM c
 
 QUERIES["curate_corpus"] = q_curate_corpus
 ORACLES["curate_corpus"] = SQL_CURATE_CORPUS
+
+
+# ---------------------------------------------------------------------------
+# Concatenated-corpus offset index, PER LANGUAGE — the byte/char offset map
+# a packed-corpus loader needs (where does doc d start in lang l's
+# concatenation?). Extends the pack_scan two-phase prefix sum to GROUPED
+# scans: pass 1 ships one (range, lang) partial sum row per range bucket,
+# the driver computes per-lang exclusive carries in range order
+# (O(ranges x langs), langs bounded), pass 2 is the same single
+# range-keyed shuffle with an in-bucket per-lang cumsum. No global sort,
+# no per-lang shuffle — the dense doc_id range IS the order.
+# ---------------------------------------------------------------------------
+def q_doc_offsets(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "lang": df["lang"],
+             # +1: the '\n' separator each doc contributes to the stream
+             "n_chars": (df["text"].fillna("").str.len() + 1).astype("int64")}
+        )
+
+    toks = docs.map_batches(lens, batch_format="pandas")
+
+    def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.copy()
+        t["_rb"] = t["doc_id"] // PACK_RANGE
+        return t.groupby(["_rb", "lang"], as_index=False)["n_chars"].sum()
+
+    parts = toks.map_batches(bucket_sums, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "lang": pd.Series(dtype=object),
+             "n_chars": pd.Series(dtype="int64"), "offset": pd.Series(dtype="int64")}
+        )
+    totals = (
+        parts.groupby(["_rb", "lang"], as_index=False)["n_chars"].sum()
+        .sort_values(["lang", "_rb"], kind="mergesort")
+    )
+    csum = totals.groupby("lang")["n_chars"].cumsum() - totals["n_chars"]
+    offsets = {
+        (int(rb), lg): int(off)
+        for rb, lg, off in zip(totals["_rb"], totals["lang"], csum)
+    }
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (rb, lg), g in group.groupby(["_rb", "lang"], sort=True):
+            g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+            n = g["n_chars"].to_numpy()
+            start = offsets[(int(rb), lg)] + n.cumsum() - n
+            outs.append(pd.DataFrame(
+                {"doc_id": g["doc_id"], "lang": lg,
+                 "n_chars": g["n_chars"], "offset": start.astype("int64")}
+            ))
+        return pd.concat(outs, ignore_index=True)
+
+    def add_rb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = df["doc_id"] // PACK_RANGE
+        return df
+
+    return map_conv_buckets(
+        toks.map_batches(add_rb, batch_format="pandas"), scan,
+        key="_rb", sort_cols=["doc_id"], num_buckets=16,
+    ).map_batches(lambda d: d[["doc_id", "lang", "n_chars", "offset"]],
+                  batch_format="pandas")
+
+
+SQL_DOC_OFFSETS = """
+WITH l AS (
+  SELECT doc_id, lang,
+         CAST(length(coalesce(text, '')) + 1 AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset
+FROM l
+"""
+
+QUERIES["doc_offsets"] = q_doc_offsets
+ORACLES["doc_offsets"] = SQL_DOC_OFFSETS

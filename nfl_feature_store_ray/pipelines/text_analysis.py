@@ -1558,3 +1558,146 @@ FROM f GROUP BY doc_id
 
 QUERIES["typo_stats"] = q_typo_stats
 ORACLES["typo_stats"] = SQL_TYPO_STATS
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate-text overlap matrix — "how much of source B is
+# already in source A": the corpus-curation diagnostic run before merging
+# crawls/dumps (high overlap -> dedup across sources before training).
+# Scale shape: per-batch DISTINCT (text, source) pairs, ONE text-keyed
+# shuffle co-locates all copies of a text, each bucket emits bounded
+# per-pair/per-source partial counts (sources are a small fixed set), and
+# a driver merge of O(sources^2) rows computes the Jaccard — the raw
+# corpus never gathers anywhere.
+# ---------------------------------------------------------------------------
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["text"]).drop_duplicates(["text", "source"])
+        return d[["text", "source"]]
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["text", "source"])
+        # per-source distinct-text counts in this bucket
+        ns = d.groupby("source", as_index=False).agg(n=("text", "size"))
+        ns = ns.assign(kind="n", source_a=ns["source"], source_b=ns["source"])
+        # shared-text counts per (a < b) source pair: self-merge per text
+        m = d.merge(d, on="text")
+        m = m[m["source_x"] < m["source_y"]]
+        sh = m.groupby(["source_x", "source_y"], as_index=False).agg(
+            n=("text", "size"))
+        sh = sh.assign(kind="i", source_a=sh["source_x"], source_b=sh["source_y"])
+        cols = ["kind", "source_a", "source_b", "n"]
+        return pd.concat([ns[cols], sh[cols]], ignore_index=True)
+
+    parts = map_conv_buckets(
+        docs.map_batches(distinct_pairs, batch_format="pandas"),
+        bucket_counts, key="text", sort_cols=["text", "source"], num_buckets=16,
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"source_a": pd.Series(dtype=object), "source_b": pd.Series(dtype=object),
+             "n_shared": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")}
+        )
+    ns = (parts[parts["kind"] == "n"].groupby("source_a")["n"].sum())
+    sh = (parts[parts["kind"] == "i"]
+          .groupby(["source_a", "source_b"], as_index=False)["n"].sum())
+    srcs = sorted(ns.index)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = sh.loc[(sh["source_a"] == a) & (sh["source_b"] == b), "n"]
+            inter = int(inter.iloc[0]) if len(inter) else 0
+            union = int(ns[a]) + int(ns[b]) - inter
+            rows.append({"source_a": a, "source_b": b, "n_shared": inter,
+                         "jaccard": round_half_away(
+                             np.float64(inter) / union, 6) if union else np.nan})
+    out = pd.DataFrame(rows)
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out
+
+
+SQL_SOURCE_OVERLAP = """
+WITH d AS (SELECT DISTINCT source, text FROM documents WHERE text IS NOT NULL),
+n AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb
+  FROM n a JOIN n b ON a.source < b.source
+),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+       ROUND(CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+             / (p.na + p.nb - COALESCE(i.n_shared, 0)), 6) AS jaccard
+FROM p LEFT JOIN i USING (source_a, source_b)
+"""
+
+QUERIES["source_overlap"] = q_source_overlap
+ORACLES["source_overlap"] = SQL_SOURCE_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# Temperature-rebalanced language sampling — the multilingual-corpus
+# rebalancing step (upsample the tail, downsample the head; cf. the
+# p^alpha schedule in public multilingual-LM recipes). alpha = 0.5 with
+# an INTEGER-EXACT quota: quota(lang) = ceil(sqrt(n_lang) * C) — sqrt is
+# IEEE correctly-rounded and *C is an exponent shift, so both engines get
+# identical quotas; selection is the quota smallest doc_ids per lang
+# (deterministic). Scale shape: bounded (lang, count) driver table ->
+# broadcast quotas -> per-batch partial top-quota by doc_id -> tiny final
+# merge; no full shuffle of the corpus.
+# ---------------------------------------------------------------------------
+TEMP_SAMPLE_C = 4
+
+
+def q_sample_temperature(sf_dir: str) -> pd.DataFrame:
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(n=("doc_id", "size"))
+
+    parts = docs.map_batches(counts, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "lang": pd.Series(dtype=object)})
+    n = parts.groupby("lang")["n"].sum()
+    quota = {
+        lg: int(np.ceil(np.sqrt(np.float64(c)) * TEMP_SAMPLE_C))
+        for lg, c in n.items()
+    }
+
+    # per-batch partial top-quota (smallest doc_ids) per lang, then a tiny
+    # driver merge: each batch ships at most sum(quota) rows
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("doc_id", kind="mergesort")
+        keep = d.groupby("lang", sort=False).cumcount() < d["lang"].map(quota)
+        return d[keep.to_numpy()][["doc_id", "lang"]]
+
+    tops = docs.map_batches(partial_top, batch_format="pandas").to_pandas()
+    tops = tops.sort_values("doc_id", kind="mergesort")
+    keep = tops.groupby("lang", sort=False).cumcount() < tops["lang"].map(quota)
+    out = tops[keep.to_numpy()].reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+SQL_SAMPLE_TEMPERATURE = f"""
+WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+q AS (SELECT lang, CAST(CEIL(sqrt(n) * {TEMP_SAMPLE_C}) AS BIGINT) AS quota FROM n),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+"""
+
+QUERIES["sample_temperature"] = q_sample_temperature
+ORACLES["sample_temperature"] = SQL_SAMPLE_TEMPERATURE

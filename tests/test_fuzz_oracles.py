@@ -26,6 +26,7 @@ DOC_QUERIES = [
     "hist_tokens", "lm_commonness", "redact_pii", "chunk_docs", "skew_tokens",
     "dedup_edit_distance", "media_dedup", "cooccurrence", "graph_triangles",
     "vocab_overlap", "top_bigrams", "pagerank", "posting_lists", "typo_stats",
+    "doc_offsets", "source_overlap", "sample_temperature",
 ]
 
 

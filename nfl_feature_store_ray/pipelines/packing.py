@@ -433,3 +433,65 @@ FROM l
 
 QUERIES["doc_offsets"] = q_doc_offsets
 ORACLES["doc_offsets"] = SQL_DOC_OFFSETS
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span counter — per doc, how many of its
+# DISTINCT 13-grams appear in at least one OTHER document (the intra-
+# corpus repeated-span signal behind substring-level train-set dedup;
+# cf. the public "Deduplicating Training Data" recipe). Scale shape: the
+# count-only posting-list pattern — distinct (gram, doc) pairs, ONE
+# gram-keyed shuffle where each gram's posting list is COUNTED (never
+# paired, so a stop-gram's hot list costs O(list), not O(list^2)), then
+# one doc-keyed partial-sum shuffle for the per-doc rollup.
+# ---------------------------------------------------------------------------
+def q_dup_spans(sf_dir: str):
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    )
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        counts, flat = tf.shingle_flat(df["text"].to_numpy(), k=DECON_K)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), counts)
+        return pd.DataFrame({"doc_id": doc, "gr": flat}).drop_duplicates()
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["gr", "doc_id"])
+        nd = d.groupby("gr", sort=False)["doc_id"].transform("size")
+        dup = d[nd.to_numpy() >= 2]
+        out = d.groupby("doc_id", as_index=False).agg(n_grams=("gr", "size"))
+        od = dup.groupby("doc_id", as_index=False).agg(n_dup_grams=("gr", "size"))
+        m = out.merge(od, on="doc_id", how="left")
+        m["n_dup_grams"] = m["n_dup_grams"].fillna(0).astype("int64")
+        m["n_grams"] = m["n_grams"].astype("int64")
+        return m
+
+    parts = map_conv_buckets(
+        docs.map_batches(grams, batch_format="pandas"), per_gram,
+        key="gr", sort_cols=["gr", "doc_id"], num_buckets=16,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[["n_grams", "n_dup_grams"]].sum()
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_dup_grams"] = out["n_dup_grams"].astype("int64")
+        return out
+
+    return map_conv_buckets(parts, final, key="doc_id",
+                            sort_cols=["doc_id"], num_buckets=8)
+
+
+SQL_DUP_SPANS = f"""
+WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+g AS (SELECT doc_id, {_gram_expr(DECON_K)} AS gs FROM ws),
+d AS (SELECT DISTINCT doc_id, unnest(gs) AS gr FROM g),
+c AS (SELECT gr, COUNT(*) AS nd FROM d GROUP BY gr)
+SELECT d.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE c.nd >= 2) AS BIGINT) AS n_dup_grams
+FROM d JOIN c USING (gr)
+GROUP BY d.doc_id
+"""
+
+QUERIES["dup_spans"] = q_dup_spans
+ORACLES["dup_spans"] = SQL_DUP_SPANS

@@ -4028,3 +4028,117 @@ FROM t JOIN s ON date_trunc('day', t.ts) = s.day AND t.role = s.role
 
 QUERIES["target_encode"] = q_target_encode
 ORACLES["target_encode"] = SQL_TARGET_ENCODE
+
+
+# ---------------------------------------------------------------------------
+# Per-day winsorized clipping — the outlier-capping prep step (clip each
+# turn's value to its day's [p05, p95] quantile_disc band) every
+# feature-normalization recipe runs before training. Integer-cent
+# thresholds via the pinned quantile_disc rank rule (same as
+# w_quartile_bucket), so engine and SQL clip at IDENTICAL boundaries;
+# NULL values stay NULL (LEAST/GREATEST propagate), all-NULL days have
+# NULL thresholds -> NULL output. One day-keyed shuffle of the pruned
+# 4-column rows (the per-row output has to cross an exchange anyway).
+# ---------------------------------------------------------------------------
+def q_winsorize_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+    pruned = _prune(ts, ["conv_id", "_seq", "ts", "value"])
+
+    def clip(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].astype("datetime64[us]").dt.floor("D")
+        v = g["value"].to_numpy(dtype="float64")
+        vc = np.rint(v * 100.0)  # NaN stays NaN
+        out = np.full(len(g), np.nan)
+        d = pd.DataFrame({"day": day}).groupby("day", sort=False)
+        for _, idx in d.indices.items():
+            vv = vc[idx]
+            s = np.sort(vv[~np.isnan(vv)])
+            n = len(s)
+            if n == 0:
+                continue  # all-NULL day: thresholds NULL -> output NULL
+            lo = s[max(1, int(np.ceil(0.05 * n))) - 1]
+            hi = s[max(1, int(np.ceil(0.95 * n))) - 1]
+            out[idx] = np.minimum(np.maximum(vv, lo), hi)
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "_seq": g["_seq"],
+             "w_value": round_half_away(out / 100.0, 6)}
+        )
+
+    return map_conv_buckets(
+        pruned.map_batches(
+            lambda df: df.assign(day=df["ts"].astype("datetime64[us]").dt.floor("D")),
+            batch_format="pandas"),
+        clip, key="day", sort_cols=["day", "conv_id", "_seq"], num_buckets=32)
+
+
+SQL_WINSORIZE_DAY = f"""{_T},
+c AS (
+  SELECT conv_id, _seq, date_trunc('day', ts) AS day,
+         ROUND(value * 100) AS vc
+  FROM t
+),
+s AS (
+  SELECT day, quantile_disc(vc, 0.05) AS lo, quantile_disc(vc, 0.95) AS hi
+  FROM c GROUP BY day
+)
+SELECT c.conv_id, c._seq,
+       -- explicit NULL propagation: DuckDB LEAST/GREATEST SKIP NULL args
+       -- (probed), so without the CASE a NULL value would clip to s.lo
+       CASE WHEN c.vc IS NULL THEN NULL
+            ELSE ROUND(LEAST(GREATEST(c.vc, s.lo), s.hi) / 100.0, 6) END
+         AS w_value
+FROM c JOIN s USING (day)
+"""
+
+QUERIES["winsorize_day"] = q_winsorize_day
+ORACLES["winsorize_day"] = SQL_WINSORIZE_DAY
+
+
+# ---------------------------------------------------------------------------
+# Per-day min-max normalization — the [0, 1] feature scaling within a
+# cohort (complement of w_zscore_day's standardization): exact integer
+# min/max per day, ONE float division mirrored in the SQL. NULL values
+# stay NULL; a constant day (max == min) is NULL (SQL NULLIF); all-NULL
+# days have NULL bounds.
+# ---------------------------------------------------------------------------
+def q_minmax_day(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+    pruned = _prune(ts, ["conv_id", "_seq", "ts", "value"])
+
+    def norm(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].astype("datetime64[us]").dt.floor("D")
+        v = g["value"].to_numpy(dtype="float64")
+        vc = np.rint(v * 100.0)
+        dd = pd.DataFrame({"day": day, "vc": vc})
+        grp = dd.groupby("day", sort=False)["vc"]
+        lo = grp.transform("min").to_numpy()   # pandas min/max skip NaN
+        hi = grp.transform("max").to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(hi > lo, (vc - lo) / (hi - lo), np.nan)
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"], "_seq": g["_seq"],
+             "mm_value": round_half_away(out, 6)}
+        )
+
+    return map_conv_buckets(
+        pruned.map_batches(
+            lambda df: df.assign(day=df["ts"].astype("datetime64[us]").dt.floor("D")),
+            batch_format="pandas"),
+        norm, key="day", sort_cols=["day", "conv_id", "_seq"], num_buckets=32)
+
+
+SQL_MINMAX_DAY = f"""{_T},
+c AS (
+  SELECT conv_id, _seq, date_trunc('day', ts) AS day,
+         ROUND(value * 100) AS vc
+  FROM t
+),
+s AS (SELECT day, MIN(vc) AS lo, MAX(vc) AS hi FROM c GROUP BY day)
+SELECT c.conv_id, c._seq,
+       ROUND(CASE WHEN s.hi > s.lo THEN (c.vc - s.lo) / (s.hi - s.lo) END, 6)
+         AS mm_value
+FROM c JOIN s USING (day)
+"""
+
+QUERIES["minmax_day"] = q_minmax_day
+ORACLES["minmax_day"] = SQL_MINMAX_DAY

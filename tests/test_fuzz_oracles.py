@@ -32,7 +32,7 @@ DOC_QUERIES = [
 
 @pytest.fixture(scope="module")
 def fuzz_dir():
-    rng = np.random.default_rng(123)
+    rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "123")))
     vocab = [f"w{i}" for i in range(150)] + ["the", "a", "of", "é", "naïve", "的"]
     texts = []
     for _ in range(300):
@@ -124,7 +124,7 @@ EVENT_QUERIES = [
 
 @pytest.fixture(scope="module")
 def events_fuzz_dir():
-    rng = np.random.default_rng(77)
+    rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "77")) + 1)
     rows, eid = [], 0
     base = pd.Timestamp("2024-02-01")
     types = ["click", "view", "purchase", "signup", "error", "search", "refund"]
@@ -195,7 +195,7 @@ EMB_FUZZ_DIR = "/tmp/nfl_fs_fuzz_emb_test"
 
 @pytest.fixture(scope="module")
 def emb_fuzz_dir():
-    rng = np.random.default_rng(55)
+    rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "55")) + 2)
     vecs = rng.normal(size=(200, 64))
     vecs[7] = 0.0
     vecs[23] = vecs[11]
@@ -283,7 +283,7 @@ NULL_VALUE_QUERIES = [
 
 @pytest.fixture(scope="module")
 def null_events_fuzz_dir():
-    rng = np.random.default_rng(991)
+    rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "991")) + 3)
     rows, eid = [], 0
     base = pd.Timestamp("2024-05-01")
     types = ["click", "view", "purchase", "signup", "error", "search", "refund"]

@@ -1384,21 +1384,36 @@ def q_time_decay_dyadic(sf_dir: str):
         n = len(g)
         out = np.zeros(n, dtype=np.int64)
         if n:
-            # codes ascend with the sort, so conversations are contiguous:
-            # step turn POSITIONS, vectorized across every conversation in
-            # the bucket (loop length = longest conversation, not rows)
-            starts = np.unique(codes, return_index=True)[1]
-            lens = np.bincount(codes)
-            s = np.zeros(len(starts), dtype=np.int64)
-            for p in range(int(lens.max())):
-                act = np.where(lens > p)[0]
-                ridx = starts[act] + p
-                if p == 0:
-                    prior = np.zeros(len(act), dtype=np.int64)
-                else:
-                    prior = s[act] >> np.minimum(gap_min[ridx], 63)
-                out[ridx] = prior
-                s[act] = prior + c[ridx]
+            # Rows within the same MINUTE GROUP (gap_min == 0 runs) see no
+            # decay, so their priors are one exact cumsum off the group's
+            # start state; only the inter-group recurrence
+            # S_g = (S_{g-1} >> K_g) + sum(c in g) is sequential. The loop
+            # below steps GROUP positions, vectorized across every
+            # conversation in the bucket — a giant conversation costs
+            # O(its minute-group count), not O(its turns).
+            newc = np.concatenate([[True], codes[1:] != codes[:-1]])
+            newg = newc | (gap_min > 0)
+            gstarts_row = np.flatnonzero(newg)
+            n_groups = len(gstarts_row)
+            gsizes = np.diff(np.concatenate([gstarts_row, [n]]))
+            cs = np.cumsum(c)
+            base = np.concatenate([[0], cs])[gstarts_row]  # excl. group start
+            in_group_prior = cs - c - np.repeat(base, gsizes)
+            g_sum = np.add.reduceat(c, gstarts_row)
+            g_shift = np.minimum(gap_min[gstarts_row], 63)
+            g_conv = codes[gstarts_row]
+            cstarts = np.unique(g_conv, return_index=True)[1]
+            cglens = np.bincount(g_conv)
+            S = np.zeros(len(cstarts), dtype=np.int64)
+            g_state = np.zeros(n_groups, dtype=np.int64)
+            for p in range(int(cglens.max())):
+                act = np.where(cglens > p)[0]
+                gidx = cstarts[act] + p
+                st = np.zeros(len(act), dtype=np.int64) if p == 0 \
+                    else S[act] >> g_shift[gidx]
+                g_state[gidx] = st
+                S[act] = st + g_sum[gidx]
+            out = np.repeat(g_state, gsizes) + in_group_prior
         turn_idx = g.groupby("conv_id", sort=False).cumcount().astype("int32")
         return pd.DataFrame(
             {"conv_id": g["conv_id"], "turn_idx": turn_idx,

@@ -1997,7 +1997,13 @@ def q_expanding_corr(sf_dir: str):
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
-        x = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        # NULL-masked cents: a NULL value contributes 0 to every x-moment
+        # (== SQL SUM's NULL-skip of x, x*y, x*x) while n stays COUNT(*).
+        # (An unmasked NaN cast is wrap-immune for the SQUARE moments but
+        # NOT for the x*y cross term — its 2^63 residue survives whenever
+        # the null row's token count is odd.)
+        v = g["value"].to_numpy(dtype="float64")
+        x = np.where(np.isnan(v), 0.0, np.rint(v * 100.0)).astype(np.int64)
         low = g["text"].fillna("").str.lower()
         y = (low.str.count(" ").to_numpy(np.int64) + 1)  # ws tokens ('' -> 1)
         d = pd.DataFrame(

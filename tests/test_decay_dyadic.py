@@ -109,3 +109,42 @@ def test_dyadic_giant_dense_conversation_is_group_bounded(ray_session, tmp_path)
         else:
             assert got.loc[0, "decay_sum"] == 0.0
             s = c[0:500].sum()
+
+
+def test_expanding_corr_null_value_odd_token_parity(tmp_path, ray_session):
+    """Regression: the unmasked NaN->int64 cast in the corr moments is
+    wrap-immune for the square terms but NOT the x*y cross term — the
+    2^63 residue survives exactly when a NULL-value row's token count is
+    ODD. This corpus pins that case (3-token props on null-value rows)."""
+    import duckdb
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(5)
+    n = 60
+    ev = pd.DataFrame(
+        {"event_id": np.arange(n, dtype="int64"),
+         "ts": (pd.Timestamp("2024-07-01")
+                + pd.to_timedelta(np.arange(n) * 40, unit="s")).astype("datetime64[us]"),
+         "user_id": np.repeat([1, 2, 3], 20),
+         "event_type": "click",
+         "value": [None if i % 7 == 3 else float(np.round(rng.random() * 90, 2))
+                   for i in range(n)],
+         # VARYING token counts (else numy == 0 gates every row to NaN on
+         # both sides and the regression can't bite); null-value rows get
+         # an ODD count so the 2^63 cross-term residue survives
+         "props": [("a b c" if i % 7 == 3 else ("x y" if i % 2 else "p q r s"))
+                   for i in range(n)]}
+    )
+    ev["value"] = ev["value"].astype("float64")
+    d = tmp_path / "corrnull"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet", index=False)
+    r = e.queries()["w_expanding_corr"](str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    s = con.execute(e.oracle_sql()["w_expanding_corr"]).df()
+    m = r.merge(s, on=["conv_id", "turn_idx"], suffixes=("", "_o"))
+    assert len(m) == len(r) == len(s)
+    np.testing.assert_allclose(
+        m["corr_val_tokens"], m["corr_val_tokens_o"], rtol=1e-9, equal_nan=True
+    )

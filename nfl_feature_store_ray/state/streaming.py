@@ -210,15 +210,21 @@ class StreamingWindowActor:
         is_tool = role == "tool"
 
         # --- gap + sessions (scalar prefix logic, vectorized per segment)
-        ts_s = ts.astype("datetime64[us]").astype("int64") / 1e6
-        prev = np.empty(n)
-        prev[1:] = ts_s[:-1]
-        prev[0] = (
-            np.nan
-            if s.prev_ts is None
-            else np.datetime64(s.prev_ts, "us").astype("int64") / 1e6
+        # subtract in EXACT integer microseconds FIRST, divide once: at
+        # epoch scale (~1.7e9 s) a per-timestamp /1e6 rounds to ~2.4e-7 s
+        # before the subtraction, which drifted gap_s ~1e-7 off the batch
+        # kernel's (ts - prev).total_seconds() (caught by the 12.8M-turn
+        # three-path equality audit, round 4)
+        ts_us = ts.astype("datetime64[us]").astype("int64")
+        prev_us = np.empty(n, dtype="int64")
+        prev_us[1:] = ts_us[:-1]
+        have_prev = s.prev_ts is not None
+        prev_us[0] = (
+            np.datetime64(s.prev_ts, "us").astype("int64") if have_prev else 0
         )
-        gap = ts_s - prev
+        gap = (ts_us - prev_us) / 1e6
+        if not have_prev:
+            gap[0] = np.nan
         out["gap_s"] = gap
         brk = np.nan_to_num(gap, nan=0.0) > self.gap
         sess_ids = s.session_id + np.cumsum(brk).astype("int64")
@@ -249,15 +255,20 @@ class StreamingWindowActor:
         tool_pos = np.where(is_tool, pos.astype("float64"), -1.0)
         prev_tool = np.maximum.accumulate(np.concatenate([[carry_pos], tool_pos]))[:-1]
         out["turns_since_tool"] = np.where(prev_tool >= 0, pos - prev_tool, np.nan)
-        carry_ts = (
-            -np.inf
+        # same diff-first discipline in integer microseconds (sentinel
+        # -2^62 = "no prior tool", far below any real epoch)
+        _NO_TOOL = np.int64(-(2 ** 62))
+        carry_ts_us = (
+            _NO_TOOL
             if s.last_tool_ts is None
-            else np.datetime64(s.last_tool_ts, "us").astype("int64") / 1e6
+            else np.datetime64(s.last_tool_ts, "us").astype("int64")
         )
-        tool_ts = np.where(is_tool, ts_s, -np.inf)
-        prev_tool_ts = np.maximum.accumulate(np.concatenate([[carry_ts], tool_ts]))[:-1]
+        tool_ts_us = np.where(is_tool, ts_us, _NO_TOOL)
+        prev_tool_ts_us = np.maximum.accumulate(
+            np.concatenate([[carry_ts_us], tool_ts_us])
+        )[:-1]
         out["secs_since_tool"] = np.where(
-            np.isfinite(prev_tool_ts), ts_s - prev_tool_ts, np.nan
+            prev_tool_ts_us != _NO_TOOL, (ts_us - prev_tool_ts_us) / 1e6, np.nan
         )
 
         # --- rolling tool rate (ring carry: prepend tail flags)

@@ -50,10 +50,15 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     ).count()
     # ... and the DOCUMENT path (r03 verdict #6: dedup_minhash_lsh showed
     # max/min 6.7 because each fresh worker pays a one-time import +
-    # first-call kernel/allocator warmup of ~4-7s inside _lists_and_bands;
-    # one untimed full pass faults that in on every worker the timed reps
-    # will use, so median tracks min)
+    # first-call kernel/allocator warmup of ~4-7s inside _lists_and_bands)
     q_dedup_minhash_lsh(sf_dir).count()
+
+    def timed_warm(name, fn):
+        # re-warm IMMEDIATELY before timing: Ray recycles idle workers
+        # within the minutes the earlier queries take, so a session-start
+        # warmup alone still leaves the first rep on cold workers
+        consume(fn())
+        return timed(name, fn)
 
     def consume(ds):
         if hasattr(ds, "iter_batches"):
@@ -159,7 +164,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("densify_grid", lambda: transcript_queries.q_densify(sf_dir))
     timed("q1_pricing", lambda: agg_queries.q1_pricing(sf_dir))
     timed("agg_conditional_sums", lambda: agg_queries.q_conditional_sums(sf_dir))
-    timed("dedup_minhash_lsh", lambda: q_dedup_minhash_lsh(sf_dir))
+    timed_warm("dedup_minhash_lsh", lambda: q_dedup_minhash_lsh(sf_dir))
     timed("ann_cosine_topk", lambda: similarity.q_ann_cosine_topk(sf_dir))
 
     # round-3 composite: quality filter -> decontaminate -> exact dedup ->
@@ -183,6 +188,18 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     timed("q3_shipping", lambda: q_q3_shipping(sf_dir))
     timed("pagerank", lambda: q_pagerank(sf_dir))
+
+    # round-4 additions: count-only posting-list span dedup, the grouped
+    # two-phase prefix-scan offset index, the cross-source overlap matrix,
+    # and the integer fixed-point (gateable) time decay
+    from nfl_feature_store_ray.pipelines.packing import q_doc_offsets, q_dup_spans
+    from nfl_feature_store_ray.pipelines.text_analysis import q_source_overlap
+
+    timed("dup_spans", lambda: q_dup_spans(sf_dir))
+    timed("doc_offsets", lambda: q_doc_offsets(sf_dir))
+    timed("source_overlap", lambda: q_source_overlap(sf_dir))
+    timed("time_decay_dyadic",
+          lambda: transcript_queries.q_time_decay_dyadic(sf_dir))
 
     result = {
         "metric": "flagship window-feature materialization wall time",

@@ -179,6 +179,7 @@ def minhash_from_flat(
     out = np.full((n_docs, num_perm), _MERSENNE31 - 1, dtype=np.uint64)
     offsets = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
+    buf = t0 = t1 = msk = None
     d0 = 0
     while d0 < n_docs:
         # grow the doc chunk until ~chunk_rows shingle rows
@@ -190,12 +191,31 @@ def minhash_from_flat(
         if len(nonempty):
             lo = offsets[d0]
             x = flat_hashes[lo : lo + rows].astype(np.uint64)[:, None]
-            v = a[None, :] * x + b[None, :]  # < 2^62 (a, x < 2^31)
+            # ONE preallocated (chunk x perms) buffer reused by every chunk
+            # and every in-place step below: the naive expression chain
+            # allocated ~4 fresh ~67MB temporaries per chunk, which glibc
+            # serves via mmap/munmap — on a FRESH Ray worker that is a
+            # page-fault storm measured at 4-7s of first-call overhead
+            # (the r03 dedup_minhash_lsh bench variance)
+            if buf is None or buf.shape[0] < rows:
+                buf = np.empty((rows, num_perm), dtype=np.uint64)
+                t0 = np.empty_like(buf)
+                t1 = np.empty_like(buf)
+                msk = np.empty(buf.shape, dtype=bool)
+            v = buf[:rows]
+            np.multiply(a[None, :], x, out=v)  # < 2^62 (a, x < 2^31)
+            np.add(v, b[None, :], out=v)
             # exact mod 2^31-1 via Mersenne folds (identical value to `% p`,
             # ~10x faster than uint64 division on this 33M-element surface)
-            v = (v & p) + (v >> np.uint64(31))
-            v = (v & p) + (v >> np.uint64(31))
-            v = np.where(v >= p, v - p, v)
+            for _ in range(2):
+                np.add(
+                    np.bitwise_and(v, p, out=t0[:rows]),
+                    np.right_shift(v, np.uint64(31), out=t1[:rows]),
+                    out=v,
+                )
+            m_ = np.greater_equal(v, p, out=msk[:rows])
+            np.subtract(v, p, out=t0[:rows], where=m_)
+            np.copyto(v, t0[:rows], where=m_)
             segs = (offsets[nonempty] - lo).astype(np.int64)
             out[nonempty] = np.minimum.reduceat(v, segs, axis=0)
         d0 = d1

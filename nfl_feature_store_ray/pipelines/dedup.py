@@ -1173,6 +1173,10 @@ ORACLES["graph_triangles"] = SQL_GRAPH_TRIANGLES
 # ---------------------------------------------------------------------------
 PR_ITERS = 5
 PR_SCALE = 10**12
+# bounded driver fast-path threshold (same pattern/justification as
+# CC_DRIVER_MAX_EDGES; env-overridable — PR_DRIVER_MAX_EDGES=0 forces the
+# distributed exchanges)
+PR_DRIVER_MAX_EDGES = 2_000_000
 
 
 def q_pagerank(sf_dir: str, max_block: int | None = None) -> pd.DataFrame:
@@ -1216,6 +1220,34 @@ def q_pagerank(sf_dir: str, max_block: int | None = None) -> pd.DataFrame:
                              "rank_q": pd.Series([], dtype="int64")})
     r0 = PR_SCALE // n
     base = (15 * r0) // 100
+
+    # BOUNDED DRIVER FAST-PATH (same contract as CC_DRIVER_MAX_EDGES /
+    # env-overridable): below the bound, the per-iteration fixed costs of
+    # the distributed exchanges (~0.5 s each x (PR_ITERS + 2)) dwarf the
+    # work on a pair-graph-sized node set; np.bincount message passing is
+    # the SAME integer fixed-point recurrence, so the result is
+    # bit-identical (gated by the parity test below and the SQL oracle).
+    max_edges = int(os.environ.get("PR_DRIVER_MAX_EDGES", PR_DRIVER_MAX_EDGES))
+    n_edges = static.map_batches(
+        lambda df: pd.DataFrame({"x": [int((df["dst"] != -1).sum())]}),
+        batch_format="pandas").to_pandas()["x"].sum()
+    if n_edges <= max_edges:
+        e = static.to_pandas()
+        ed = e[e["dst"] != -1]
+        nodes, inv_src = np.unique(ed["k"].to_numpy(np.int64), return_inverse=True)
+        # every dst is also a src (edges are doubled), so dst indexes nodes
+        inv_dst = np.searchsorted(nodes, ed["dst"].to_numpy(np.int64))
+        deg = np.bincount(inv_src, minlength=len(nodes)).astype(np.int64)
+        r = np.full(len(nodes), np.int64(r0))
+        for _ in range(PR_ITERS):
+            contrib = r[inv_src] // deg[inv_src]
+            # integer-exact sum per dst: bincount(weights=...) would go
+            # through float64 — add.at stays int64 (order-independent)
+            c = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(c, inv_dst, contrib)
+            r = base + (85 * c) // 100
+        return pd.DataFrame({"doc_id": nodes, "degree": deg,
+                             "rank_q": r}).sort_values("doc_id").reset_index(drop=True)
 
     def step(first: bool, last: bool):
         def kern(g: pd.DataFrame) -> pd.DataFrame:

@@ -414,3 +414,32 @@ def test_levenshtein_banded_kernel_contract():
             le = full <= tmax
             assert (band[le] == full[le]).all(), (seed, tmax)
             assert (band[~le] > tmax).all(), (seed, tmax)
+
+
+def test_pagerank_driver_fast_path_equals_distributed(ray_session, tmp_path, monkeypatch):
+    """The bounded-driver PageRank (np.add.at integer message passing) must
+    be BIT-identical to the distributed exchange path — same fixed-point
+    recurrence, different execution (PR_DRIVER_MAX_EDGES=0 forces the
+    exchanges; the CC fast path has the same contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines.dedup import q_pagerank
+
+    rng = np.random.default_rng(9)
+    texts = []
+    for i in range(60):
+        base = " ".join(f"w{j}" for j in rng.integers(0, 40, 12))
+        texts.append(base)
+        if i % 3 == 0:
+            texts.append(base + " x")  # near-dup partner -> graph edges
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                       "lang": "en", "source": "s", "n_chars": 0})
+    d = tmp_path / "pr"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet", index=False)
+    fast = q_pagerank(str(d)).reset_index(drop=True)
+    monkeypatch.setenv("PR_DRIVER_MAX_EDGES", "0")
+    dist = q_pagerank(str(d)).reset_index(drop=True)
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)

@@ -4163,3 +4163,78 @@ FROM c JOIN s USING (day)
 
 QUERIES["minmax_day"] = q_minmax_day
 ORACLES["minmax_day"] = SQL_MINMAX_DAY
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day rolling mean over the DENSE day grid — W2 x W4: the
+# reference's weekly trailing form windows generalized to a gap-filled
+# calendar (missing days carry the last observed daily total, so a
+# conversation quiet for three days still decays its trailing mean the
+# way a calendar feature should). Same one-conv-shuffle + in-bucket grid
+# as w_densify; the rolling mean is an exact integer cumsum difference
+# (never pandas rolling().mean(), whose sliding compensation is not
+# reproducible against SQL AVG).
+# ---------------------------------------------------------------------------
+ROLL_GRID_DAYS = 7
+
+
+def q_rolling_grid7(sf_dir: str):
+    ts = transcripts_from_events(sf_dir)
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        daily = _daily_cents(df)
+        span = daily.groupby("conv_id")["day"].agg(lo="min", hi="max")
+        g = _dense_day_grid(daily, span["lo"], span["hi"])
+        conv = g["conv_id"]
+        filled = g["day_c"].groupby(conv, sort=False).ffill().to_numpy()
+        m = ~np.isnan(filled)
+        vals = np.where(m, filled, 0.0)
+        ones = m.astype(np.float64)
+        # per-conv trailing-7 sums via cumsum difference (window includes
+        # the current day; NULL cells — only possible while the leading
+        # days are all-NULL — contribute nothing, like SQL AVG)
+        d_ = pd.DataFrame({"v": vals, "n": ones})
+        cs = d_.groupby(conv.to_numpy(), sort=False).cumsum()
+        lag = cs.groupby(conv.to_numpy(), sort=False).shift(ROLL_GRID_DAYS).fillna(0.0)
+        s7 = cs["v"].to_numpy() - lag["v"].to_numpy()
+        n7 = cs["n"].to_numpy() - lag["n"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(n7 > 0, s7 / (100.0 * n7), np.nan)
+        return pd.DataFrame(
+            {"conv_id": conv, "day": g["day"].astype("datetime64[us]"),
+             "roll7_value": round_half_away(out, 6)}
+        )
+
+    return map_conv_buckets(_prune(ts, ["conv_id", "ts", "_seq", "value"]), kern,
+                            key="conv_id", sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_ROLLING_GRID7 = f"""{_T},
+daily AS (
+  SELECT conv_id, date_trunc('day', ts) AS day, SUM(ROUND(value * 100)) AS day_c
+  FROM t GROUP BY 1, 2
+),
+span AS (SELECT conv_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+grid AS (
+  SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span
+),
+g2 AS (
+  SELECT g.conv_id, g.day, d.day_c
+  FROM grid g LEFT JOIN daily d ON d.conv_id = g.conv_id AND d.day = g.day
+),
+filled AS (
+  SELECT conv_id, day,
+         LAST_VALUE(day_c IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY day) AS filled_c
+  FROM g2
+)
+SELECT conv_id, day,
+       ROUND(SUM(filled_c) OVER w / (100.0 * COUNT(filled_c) OVER w), 6)
+         AS roll7_value
+FROM filled
+WINDOW w AS (PARTITION BY conv_id ORDER BY day
+             ROWS BETWEEN {ROLL_GRID_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["w_rolling_grid7"] = q_rolling_grid7
+ORACLES["w_rolling_grid7"] = SQL_ROLLING_GRID7

@@ -118,7 +118,7 @@ EVENT_QUERIES = [
     "w_rolling_mode", "asof_nearest", "day_concentration", "cohort_retention",
     "topk_ties_day", "max_concurrency", "json_props", "w_late_events",
     "w_groups_frame", "target_encode", "w_time_decay_dyadic",
-    "winsorize_day", "minmax_day",
+    "winsorize_day", "minmax_day", "w_rolling_grid7",
 ]
 
 
@@ -272,7 +272,7 @@ NULL_VALUE_QUERIES = [
     "pair_join", "agg_career", "topk_convs", "w_asof_forward",
     "asof_tolerance", "asof_nearest", "asof_daily",
     "w_sliding_window", "w_asof_checkpoint",
-    "winsorize_day", "minmax_day",
+    "winsorize_day", "minmax_day", "w_rolling_grid7",
 ]
 # NOT in the NULL gate (documented value-non-null contract, PARITY.md):
 # w_session_avg / w_phase_windows / wide_slice / w_rolling_streaming /

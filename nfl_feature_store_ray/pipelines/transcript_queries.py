@@ -4238,3 +4238,128 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY day
 
 QUERIES["w_rolling_grid7"] = q_rolling_grid7
 ORACLES["w_rolling_grid7"] = SQL_ROLLING_GRID7
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival (burstiness) profile per conversation — the cadence
+# features beside W7's per-turn gap: gap count, exact mean gap, max gap,
+# and how many gaps exceed the session threshold. All integer-microsecond
+# arithmetic (sums bounded by span x rows, far inside int64), ONE
+# conv-keyed shuffle of 4-int partials: consecutive gaps need adjacent
+# rows, so the partial ships each batch's per-conv (sum, max, n, n_long)
+# plus its boundary timestamps — but simplest exact shape at this grain
+# is the in-bucket pass over whole conversations, which the conv spine
+# already provides.
+# ---------------------------------------------------------------------------
+GAP_LONG_S = SESSION_GAP_S
+
+
+def q_gap_profile(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq"])
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "_seq"], kind="mergesort").reset_index(drop=True)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        codes = pd.factorize(g["conv_id"])[0]
+        same = np.concatenate([[False], codes[1:] == codes[:-1]])
+        d = pd.DataFrame(
+            {"conv_id": g["conv_id"][same],
+             "gap_us": (us - np.roll(us, 1))[same]}
+        )
+        out = d.groupby("conv_id", as_index=False).agg(
+            n_gaps=("gap_us", "size"),
+            _sum=("gap_us", "sum"),
+            _max=("gap_us", "max"),
+            n_long=("gap_us", lambda s: int((s > GAP_LONG_S * 1_000_000).sum())),
+        )
+        res = pd.DataFrame(
+            {"conv_id": out["conv_id"],
+             "n_gaps": out["n_gaps"].astype("int64"),
+             "mean_gap_s": round_half_away(
+                 out["_sum"].to_numpy(np.float64)
+                 / (1e6 * out["n_gaps"].to_numpy(np.float64)), 6),
+             "max_gap_s": round_half_away(out["_max"].to_numpy(np.float64) / 1e6, 6),
+             "n_long": out["n_long"].astype("int64")}
+        )
+        return res
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_GAP_PROFILE = f"""{_T},
+g AS (
+  SELECT conv_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER ({_W})) AS gap_us
+  FROM t
+)
+SELECT conv_id,
+       COUNT(gap_us) AS n_gaps,
+       ROUND(SUM(gap_us) / (1e6 * COUNT(gap_us)), 6) AS mean_gap_s,
+       ROUND(MAX(gap_us) / 1e6, 6) AS max_gap_s,
+       CAST(COUNT(*) FILTER (WHERE gap_us > {GAP_LONG_S * 1_000_000}) AS BIGINT)
+         AS n_long
+FROM g GROUP BY conv_id
+HAVING COUNT(gap_us) > 0
+"""
+
+QUERIES["agg_gap_profile"] = q_gap_profile
+ORACLES["agg_gap_profile"] = SQL_GAP_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Forward 30-minute window sum/count — the horizon-label sibling of
+# w_sliding_window (a LABEL like w_lead_label / w_response_latency:
+# forward-looking by design, excluded from the leakage contract by name).
+# Same banded searchsorted + cumsum-difference kernel, mirrored forward;
+# NULL-masked prefix sums keep SQL SUM semantics.
+# ---------------------------------------------------------------------------
+FWD_WIN_S = 30 * 60
+
+
+def q_forward_sum_30m(sf_dir: str):
+    ts_ds = transcripts_from_events(sf_dir)
+    pruned = _prune(ts_ds, ["conv_id", "ts", "_seq", "value"])
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["conv_id"]
+        t_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = df["value"].to_numpy(dtype="float64")
+        vc = np.rint(v * 100.0)  # NaN kept for the self-subtraction
+        ca = conv.to_numpy()
+        new = np.concatenate([[True], ca[1:] != ca[:-1]])
+        ordinal = np.cumsum(new) - 1
+        win_us = FWD_WIN_S * 1_000_000
+        rel = t_us - t_us.min() if len(t_us) else t_us
+        band = np.int64((int(rel.max()) if len(rel) else 0) + win_us + 1)
+        assert int(ordinal[-1] if len(ordinal) else 0) * int(band) < (1 << 62), \
+            "forward-window band overflow: split the bucket (raise num_buckets)"
+        t_adj = ordinal.astype(np.int64) * band + rel
+        cum = np.concatenate([[0.0], np.cumsum(np.where(np.isnan(vc), 0.0, vc))])
+        lo = np.searchsorted(t_adj, t_adj, side="left")
+        hi = np.searchsorted(t_adj, t_adj + win_us, side="right")
+        g = df.groupby("conv_id", sort=False).cumcount()
+        return pd.DataFrame(
+            {"conv_id": conv,
+             "turn_idx": g.astype("int32"),
+             "n_fwd30": (hi - lo - 1).astype("int64"),
+             "fwd30_sum": round_half_away((cum[hi] - cum[lo] - vc) / 100.0, 6)}
+        )
+
+    return map_conv_buckets(pruned, kern, key="conv_id",
+                            sort_cols=["conv_id", "ts", "_seq"])
+
+
+SQL_FORWARD_SUM_30M = f"""{_T}
+SELECT conv_id, turn_idx,
+       COUNT(*) OVER w - 1 AS n_fwd30,
+       ROUND((SUM(ROUND(value * 100)) OVER w - ROUND(value * 100)) / 100.0, 6)
+         AS fwd30_sum
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+             RANGE BETWEEN CURRENT ROW AND INTERVAL {FWD_WIN_S} SECONDS FOLLOWING)
+"""
+
+QUERIES["w_forward_sum_30m"] = q_forward_sum_30m
+ORACLES["w_forward_sum_30m"] = SQL_FORWARD_SUM_30M

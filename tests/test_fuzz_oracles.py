@@ -119,6 +119,7 @@ EVENT_QUERIES = [
     "topk_ties_day", "max_concurrency", "json_props", "w_late_events",
     "w_groups_frame", "target_encode", "w_time_decay_dyadic",
     "winsorize_day", "minmax_day", "w_rolling_grid7",
+    "agg_gap_profile", "w_forward_sum_30m",
 ]
 
 
@@ -273,6 +274,7 @@ NULL_VALUE_QUERIES = [
     "asof_tolerance", "asof_nearest", "asof_daily",
     "w_sliding_window", "w_asof_checkpoint",
     "winsorize_day", "minmax_day", "w_rolling_grid7",
+    "agg_gap_profile", "w_forward_sum_30m",
 ]
 # NOT in the NULL gate (documented value-non-null contract, PARITY.md):
 # w_session_avg / w_phase_windows / wide_slice / w_rolling_streaming /

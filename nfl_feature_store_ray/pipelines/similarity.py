@@ -463,3 +463,95 @@ FROM e GROUP BY label, dim
 
 QUERIES["centroid_label"] = q_centroid_label
 ORACLES["centroid_label"] = SQL_CENTROID_LABEL
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (PQ / asymmetric-distance, the billion-vector
+# scale path beside IVF and LSH): codebooks are trained on a BOUNDED
+# deterministic sample on the driver (M subspaces x PQ_K centroids — at
+# corpus scale training is always sample-based), the encode pass packs
+# every vector into M uint8 codes in one streaming map_batches (vectors
+# never gather), and queries score via per-query (M, PQ_K) lookup tables
+# broadcast once — per batch a code-gather + sum, no full-dim matmul.
+# Rows-only (approximate by construction); gated by a recall-vs-exact
+# quality test like IVF/LSH.
+# ---------------------------------------------------------------------------
+PQ_M = 8           # subspaces
+PQ_K = 16          # centroids per subspace (uint8 codes, 4 bits used)
+PQ_TRAIN_N = 512   # deterministic training sample (lowest vec_ids)
+PQ_ITERS = 8
+
+
+def pq_train(sf_dir: str) -> np.ndarray:
+    """(M, PQ_K, d/M) codebooks from a deterministic bounded sample."""
+    sample = _nsmallest_distributed(sf_dir, PQ_TRAIN_N)
+    v = _norm_rows(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    d = v.shape[1]
+    assert d % PQ_M == 0, f"dim {d} not divisible by PQ_M={PQ_M}"
+    ds = d // PQ_M
+    books = np.empty((PQ_M, PQ_K, ds), dtype=np.float64)
+    for m in range(PQ_M):
+        sub = v[:, m * ds:(m + 1) * ds]
+        cent = sub[:PQ_K].copy()  # deterministic seed: first PQ_K rows
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                sel = assign == c
+                if sel.any():
+                    cent[c] = sub[sel].mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def q_ann_pq(sf_dir: str) -> pd.DataFrame:
+    books = pq_train(sf_dir)
+    qids, qm = _load_queries(sf_dir)
+    ds = books.shape[2]
+    # per-query LUTs: lut[q, m, c] = q_sub . centroid  (dot-product score
+    # of normalized vectors decomposes across subspaces)
+    lut = np.einsum("qmd,mcd->qmc", qm.reshape(len(qm), PQ_M, ds), books)
+    books_ref, lut_ref, qids_ref = ray.put(books), ray.put(lut), ray.put(qids)
+
+    class _PQScore:
+        def __init__(self):
+            from nfl_feature_store_ray.functions.broadcast import cached_object_get
+            self.books = cached_object_get(books_ref)
+            self.lut = cached_object_get(lut_ref)
+            self.qids = cached_object_get(qids_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            v = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            n = len(v)
+            dsz = self.books.shape[2]
+            codes = np.empty((n, PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = v[:, m * dsz:(m + 1) * dsz]
+                d2 = ((sub[:, None, :] - self.books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            # scores[q, i] = sum_m lut[q, m, codes[i, m]]
+            scores = np.zeros((len(self.qids), n), dtype=np.float64)
+            for m in range(PQ_M):
+                scores += self.lut[:, m, codes[:, m]]
+            ids = df["vec_id"].to_numpy()
+            rows = []
+            for qi, qid in enumerate(self.qids):
+                s = scores[qi]
+                mask = ids != qid
+                order = np.lexsort((ids[mask], -s[mask]))[:TOP_K]
+                sel = np.flatnonzero(mask)[order]
+                rows.append(pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": ids[sel],
+                     "cos_sim": round_half_away(s[sel], 6)}))
+            return pd.concat(rows, ignore_index=True)
+
+    emb = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
+    )
+    partials = emb.map_batches(
+        _PQScore, batch_format="pandas", concurrency=(1, 4)
+    )
+    return _final_topk(partials.to_pandas(), TOP_K)
+
+
+QUERIES["ann_pq"] = q_ann_pq  # rows-only (approximate; recall test)

@@ -56,3 +56,43 @@ def test_lsh_deterministic_and_ranked():
     for _, g in a.groupby("query_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["cos_sim"].to_numpy()[:-1] >= g["cos_sim"].to_numpy()[1:]).all()
+
+
+def test_ann_pq_planted_duplicate_and_recall(ray_session, tmp_path):
+    """PQ quality gate: an exact duplicate of a query shares its codes, so
+    it must surface at rank 1; and corpus recall@5 vs brute force must be
+    far above the 1% random floor (deterministic: sample, seeds, and math
+    are all pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    from nfl_feature_store_ray.pipelines.similarity import (
+        TOP_K,
+        q_ann_cosine_topk,
+        q_ann_pq,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(300, 64))
+    vecs[77] = vecs[3]          # exact duplicate of query 3
+    vecs[150] = vecs[7] * 2.5   # scaled duplicate of query 7 (same direction)
+    df = pd.DataFrame(
+        {"vec_id": range(300),
+         "embedding": [v.astype(np.float32).tolist() for v in vecs],
+         "label": 0}
+    )
+    d = tmp_path / "pq"
+    d.mkdir()
+    df.to_parquet(d / "embeddings.parquet", index=False)
+    pq = q_ann_pq(str(d))
+    assert pq.loc[(pq.query_id == 3) & (pq["rank"] == 1), "neighbor_id"].iloc[0] == 77
+    assert pq.loc[(pq.query_id == 7) & (pq["rank"] == 1), "neighbor_id"].iloc[0] == 150
+    # recall floor on the real test embeddings
+    ex = q_ann_cosine_topk("/root/testdata/sf0.01")
+    got = q_ann_pq("/root/testdata/sf0.01")
+    hits = 0
+    for q in ex["query_id"].unique():
+        hits += len(set(ex[ex.query_id == q]["neighbor_id"])
+                    & set(got[got.query_id == q]["neighbor_id"]))
+    recall = hits / len(ex)
+    assert recall >= 0.2, f"PQ recall@{TOP_K} collapsed: {recall}"

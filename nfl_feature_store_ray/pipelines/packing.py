@@ -29,6 +29,9 @@ from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
 
 PACK_BUDGET = 2048  # tokens per packed sequence
 PACK_RANGE = 256    # doc_ids per scan bucket (dense-id range partition)
+# NULL-group-key sentinel (never a valid lang code: NUL byte prefix) —
+# pandas NaN group keys are dict-lookup-unsafe, SQL GROUP BY keeps NULL
+_NULL_KEY = "\x00<null>"
 
 
 def _token_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -366,7 +369,11 @@ def q_doc_offsets(sf_dir: str):
     def lens(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"doc_id": df["doc_id"].astype("int64"),
-             "lang": df["lang"],
+             # NULL lang is a real partition in the SQL oracle (PARTITION BY
+             # keeps a NULL group); a sentinel keeps it through the pandas
+             # groupbys / the offsets dict (NaN keys are lookup-unsafe) and
+             # is restored to NULL at the output projection (ADVICE r04).
+             "lang": df["lang"].fillna(_NULL_KEY),
              # +1: the '\n' separator each doc contributes to the stream
              "n_chars": (df["text"].fillna("").str.len() + 1).astype("int64")}
         )
@@ -411,11 +418,15 @@ def q_doc_offsets(sf_dir: str):
         df["_rb"] = df["doc_id"] // PACK_RANGE
         return df
 
+    def project(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[["doc_id", "lang", "n_chars", "offset"]].copy()
+        d["lang"] = d["lang"].where(d["lang"] != _NULL_KEY, None)
+        return d
+
     return map_conv_buckets(
         toks.map_batches(add_rb, batch_format="pandas"), scan,
         key="_rb", sort_cols=["doc_id"], num_buckets=16,
-    ).map_batches(lambda d: d[["doc_id", "lang", "n_chars", "offset"]],
-                  batch_format="pandas")
+    ).map_batches(project, batch_format="pandas")
 
 
 SQL_DOC_OFFSETS = """

@@ -489,18 +489,25 @@ def pq_train(sf_dir: str) -> np.ndarray:
     d = v.shape[1]
     assert d % PQ_M == 0, f"dim {d} not divisible by PQ_M={PQ_M}"
     ds = d // PQ_M
+    if len(v) == 0:
+        raise ValueError("corpus too small for PQ: no training vectors")
+    # clamp to the training-sample size: tiny corpora train fewer
+    # centroids and the unused codebook rows are padded with the first
+    # centroid (harmless — argmin picks the lowest index on ties)
+    k_eff = min(PQ_K, len(v))
     books = np.empty((PQ_M, PQ_K, ds), dtype=np.float64)
     for m in range(PQ_M):
         sub = v[:, m * ds:(m + 1) * ds]
-        cent = sub[:PQ_K].copy()  # deterministic seed: first PQ_K rows
+        cent = sub[:k_eff].copy()  # deterministic seed: first k_eff rows
         for _ in range(PQ_ITERS):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
-            for c in range(PQ_K):
+            for c in range(k_eff):
                 sel = assign == c
                 if sel.any():
                     cent[c] = sub[sel].mean(axis=0)
-        books[m] = cent
+        books[m, :k_eff] = cent
+        books[m, k_eff:] = cent[0]
     return books
 
 
@@ -509,8 +516,10 @@ def q_ann_pq(sf_dir: str) -> pd.DataFrame:
     qids, qm = _load_queries(sf_dir)
     ds = books.shape[2]
     # per-query LUTs: lut[q, m, c] = q_sub . centroid  (dot-product score
-    # of normalized vectors decomposes across subspaces)
-    lut = np.einsum("qmd,mcd->qmc", qm.reshape(len(qm), PQ_M, ds), books)
+    # of normalized vectors decomposes across subspaces; queries must be
+    # unit-norm like every other ANN path so cos_sim is a true cosine)
+    qn = _norm_rows(qm)
+    lut = np.einsum("qmd,mcd->qmc", qn.reshape(len(qn), PQ_M, ds), books)
     books_ref, lut_ref, qids_ref = ray.put(books), ray.put(lut), ray.put(qids)
 
     class _PQScore:

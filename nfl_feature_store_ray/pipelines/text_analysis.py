@@ -445,18 +445,20 @@ def q_sample_stratified(sf_dir: str):
     so ties are pinned by (rk, doc_id) on both sides."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
+    # dropna=False: SQL PARTITION BY keeps a NULL-lang stratum — it gets
+    # its own quota like any other lang (ADVICE r04 NULL-group-key class)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["rk"] = ((df["doc_id"].astype("int64") % STRAT_MOD) * STRAT_MULT) % STRAT_MOD
         return (
             df.sort_values(["rk", "doc_id"], kind="mergesort")
-            .groupby("lang", as_index=False).head(STRAT_K)
+            .groupby("lang", as_index=False, dropna=False).head(STRAT_K)
         )
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         out = (
             group.sort_values(["rk", "doc_id"], kind="mergesort")
-            .groupby("lang", as_index=False).head(STRAT_K)
+            .groupby("lang", as_index=False, dropna=False).head(STRAT_K)
         )
         return out[["doc_id", "lang", "n_chars", "rk"]]
 
@@ -1003,14 +1005,15 @@ def q_skew_tokens(sf_dir: str):
         d = pd.DataFrame(
             {"lang": df["lang"], "source": df["source"], "n": np.int64(1), **cols}
         )
-        return d.groupby(["lang", "source"], as_index=False).sum()
+        # dropna=False: SQL GROUP BY keeps NULL lang/source strata
+        return d.groupby(["lang", "source"], as_index=False, dropna=False).sum()
 
     parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
     # bounded driver merge (one row per stratum): object dtype -> Python
     # ints, so S1^4-scale numerators never overflow at any corpus size
     for col in ("n", "s1", "s2", "s3", "s4"):
         parts[col] = parts[col].astype(object)
-    g = parts.groupby(["lang", "source"], as_index=False).sum()
+    g = parts.groupby(["lang", "source"], as_index=False, dropna=False).sum()
 
     rows = []
     for r in g.itertuples(index=False):
@@ -1027,7 +1030,9 @@ def q_skew_tokens(sf_dir: str):
             kurt = (float(cm) / (nf * nf * nf * nf)) / (var * var) - 3.0
         else:
             skew = kurt = np.nan
-        rows.append((r.lang, r.source, n, mean, var, skew, kurt))
+        rows.append((r.lang if pd.notna(r.lang) else None,
+                     r.source if pd.notna(r.source) else None,
+                     n, mean, var, skew, kurt))
     out = pd.DataFrame(
         rows, columns=["lang", "source", "n_docs", "mean_tokens", "var_tokens",
                        "skew_tokens", "kurt_tokens"]
@@ -1581,6 +1586,10 @@ def q_source_overlap(sf_dir: str) -> pd.DataFrame:
 
     def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["text", "source"])
+        # NULL-source rows can never appear in the output: the oracle's
+        # pair predicates (a.source < b.source) are NULL-false, so a NULL
+        # source joins nothing — pandas' default dropna here matches the
+        # SQL exactly (documented contract, ADVICE r04).
         # per-source distinct-text counts in this bucket
         ns = d.groupby("source", as_index=False).agg(n=("text", "size"))
         ns = ns.assign(kind="n", source_a=ns["source"], source_b=ns["source"])
@@ -1593,15 +1602,16 @@ def q_source_overlap(sf_dir: str) -> pd.DataFrame:
         cols = ["kind", "source_a", "source_b", "n"]
         return pd.concat([ns[cols], sh[cols]], ignore_index=True)
 
+    _empty = pd.DataFrame(
+        {"source_a": pd.Series(dtype=object), "source_b": pd.Series(dtype=object),
+         "n_shared": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")}
+    )
     parts = map_conv_buckets(
         docs.map_batches(distinct_pairs, batch_format="pandas"),
         bucket_counts, key="text", sort_cols=["text", "source"], num_buckets=16,
     ).to_pandas()
     if parts.empty:
-        return pd.DataFrame(
-            {"source_a": pd.Series(dtype=object), "source_b": pd.Series(dtype=object),
-             "n_shared": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")}
-        )
+        return _empty
     ns = (parts[parts["kind"] == "n"].groupby("source_a")["n"].sum())
     sh = (parts[parts["kind"] == "i"]
           .groupby(["source_a", "source_b"], as_index=False)["n"].sum())
@@ -1615,6 +1625,8 @@ def q_source_overlap(sf_dir: str) -> pd.DataFrame:
             rows.append({"source_a": a, "source_b": b, "n_shared": inter,
                          "jaccard": round_half_away(
                              np.float64(inter) / union, 6) if union else np.nan})
+    if not rows:  # exactly one distinct source -> no pairs (oracle: empty)
+        return _empty
     out = pd.DataFrame(rows)
     out["n_shared"] = out["n_shared"].astype("int64")
     return out
@@ -1658,7 +1670,14 @@ TEMP_SAMPLE_C = 4
 
 
 def q_sample_temperature(sf_dir: str) -> pd.DataFrame:
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    # NULL lang is a real group in the SQL oracle (GROUP BY / PARTITION BY
+    # keep a NULL group); a sentinel keeps it through the quota dict and
+    # .map() lookups, restored to NULL at the end (ADVICE r04).
+    _nullk = "\x00<null>"
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        lambda df: df.assign(lang=df["lang"].fillna(_nullk)),
+        batch_format="pandas",
+    )
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("lang", as_index=False).agg(n=("doc_id", "size"))
@@ -1685,6 +1704,7 @@ def q_sample_temperature(sf_dir: str) -> pd.DataFrame:
     keep = tops.groupby("lang", sort=False).cumcount() < tops["lang"].map(quota)
     out = tops[keep.to_numpy()].reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype("int64")
+    out["lang"] = out["lang"].where(out["lang"] != _nullk, None)
     return out
 
 
@@ -1696,7 +1716,9 @@ r AS (
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
   FROM documents
 )
-SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+SELECT r.doc_id, r.lang FROM r
+JOIN q ON r.lang IS NOT DISTINCT FROM q.lang
+WHERE r.rk <= q.quota
 """
 
 QUERIES["sample_temperature"] = q_sample_temperature

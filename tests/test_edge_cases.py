@@ -423,3 +423,42 @@ def test_dq_checks_planted_dirty_corpus(tmp_path, ray_session):
     s = con.execute(e.oracle_sql()["dq_checks"]).df().sort_values(
         "check_name").reset_index(drop=True)
     pd.testing.assert_frame_equal(r, s[r.columns.tolist()], check_dtype=False)
+
+
+def test_source_overlap_single_source_keeps_schema(tmp_path, ray_session):
+    """ADVICE r04: exactly one distinct source => zero pairs; must return
+    the empty 4-column typed frame (pd.DataFrame([]) would KeyError on
+    the n_shared astype), matching the oracle's empty result."""
+    df = pd.DataFrame(
+        {"doc_id": range(5), "text": ["a b", "a b", "c", None, "d e"],
+         "lang": "en", "source": "only", "n_chars": 0}
+    )
+    _docs_oracle_compare(tmp_path, df, ["source_overlap"])
+
+
+def test_ann_pq_tiny_corpus_trains_clamped_codebooks(tmp_path, ray_session):
+    """ADVICE r04: fewer training vectors than PQ_K=16 must clamp the
+    per-subspace codebook (padding unused rows), not raise a numpy
+    broadcast ValueError; planted exact duplicates must still score 1.0."""
+    import numpy as np
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(6, 64))
+    vecs[5] = vecs[0]  # exact duplicate pair
+    df = pd.DataFrame(
+        {"vec_id": range(6),
+         "embedding": [v.astype(np.float32).tolist() for v in vecs],
+         "label": np.zeros(6, dtype="int32")}
+    )
+    d = tmp_path / "tinyemb"
+    d.mkdir()
+    df.to_parquet(d / "embeddings.parquet", index=False)
+    r = e.queries()["ann_pq"](str(d))
+    r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+    assert len(r) > 0
+    # with k_eff = n_train every vector IS a centroid: PQ scores are exact,
+    # so the duplicate pair must top each other's lists with cos_sim 1.0
+    top0 = r[r["query_id"] == 0].iloc[0]
+    assert top0["neighbor_id"] == 5 and abs(top0["cos_sim"] - 1.0) < 1e-9

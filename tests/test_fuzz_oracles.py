@@ -59,6 +59,11 @@ def fuzz_dir():
     # several sources so the cross-source ops (vocab_overlap, stratified
     # sampling) exercise non-trivial pair/strata structure
     df["source"] = np.asarray(["fa", "fb", "fc"], object)[rng.integers(0, 3, 300)]
+    # NULL group keys (round 5, from ADVICE): SQL GROUP BY / PARTITION BY
+    # keep a NULL group, pandas groupby drops it by default — every
+    # lang/source-grouped query must agree with its oracle on these rows
+    df.loc[rng.random(300) < 0.04, "lang"] = None
+    df.loc[rng.random(300) < 0.04, "source"] = None
     df["n_chars"] = df["text"].str.len().fillna(0).astype("int64")
     shutil.rmtree(FUZZ_DIR, ignore_errors=True)
     os.makedirs(FUZZ_DIR)

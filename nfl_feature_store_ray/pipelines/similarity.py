@@ -564,3 +564,210 @@ def q_ann_pq(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["ann_pq"] = q_ann_pq  # rows-only (approximate; recall test)
+
+
+# ---------------------------------------------------------------------------
+# Planted-invariant gates for the approximate ANN/k-means family (r04
+# verdict #3). Each approximate operator is rows-only by nature, but
+# carries a DETERMINISTIC distributed-path contract a SQL oracle can
+# state exactly:
+#
+#   ann_lsh_self_match      the corpus contains every query vector; an
+#                           identical vector collides in EVERY LSH table,
+#                           so rank 1 per (nonzero) query must be the
+#                           query itself at cos_sim 1.000000. (Queries
+#                           are the globally lowest vec_ids, so even an
+#                           exact-duplicate tie resolves to self by the
+#                           neighbor_id-ascending tie rule; contract
+#                           assumes no two QUERY payloads are identical.)
+#   kmeans_twin_consistency cluster assignment is a pure function of the
+#                           vector given the broadcast final centroids: a
+#                           planted twin copy of the corpus (same
+#                           payloads, shifted ids, different blocks and
+#                           actors) must land in the SAME cluster as its
+#                           original, for every vector.
+#   pq_twin_codes           PQ encoding likewise: planted twins must
+#                           quantize to identical M-subspace code words
+#                           regardless of batch composition.
+#
+# A hash mismatch here means the distributed path broke its contract
+# (batch-dependent state, broadcast drift, seed skew) — the non-vacuous
+# driver gate the purely-approximate rows-only entries can't provide.
+# ---------------------------------------------------------------------------
+TWIN_OFFSET = 1_000_000_000
+
+
+def _nonzero_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """N_QUERIES lowest vec_ids with NONZERO L2 norm (the engine defines
+    cosine-with-zero-vector as 0.0, so a zero query can't self-match)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return df[(m * m).sum(axis=1) > 0].nsmallest(N_QUERIES, "vec_id")
+
+    parts = emb.map_batches(part, batch_format="pandas").to_pandas()
+    df = parts.nsmallest(N_QUERIES, "vec_id")
+    qm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return df["vec_id"].to_numpy(dtype=np.int64), qm
+
+
+def q_ann_lsh_self_match(sf_dir: str):
+    qids, qm = _nonzero_queries(sf_dir)
+    qn = _norm_rows(qm)
+    planes = _lsh_planes(qm.shape[1])
+    qsigs = _lsh_sigs(qn, planes)
+    planes_ref, qids_ref, qmat_ref, qsig_ref = (
+        ray.put(planes), ray.put(qids), ray.put(qm), ray.put(qsigs),
+    )
+
+    class LshSelfTopK:
+        """Same signature machinery as q_ann_lsh but WITHOUT the self-
+        exclusion: the query row itself must surface as a candidate."""
+
+        def __init__(self):
+            from nfl_feature_store_ray.functions.broadcast import cached_object_get
+            self.planes = cached_object_get(planes_ref)
+            self.qids = cached_object_get(qids_ref)
+            self.qm = _norm_rows(cached_object_get(qmat_ref))
+            self.qsigs = cached_object_get(qsig_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "neighbor_id": pd.Series([], dtype=np.int64),
+                 "cos_sim": pd.Series([], dtype=np.float64)})
+            if not len(df):
+                return empty
+            vecs = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            vids = df["vec_id"].to_numpy(dtype=np.int64)
+            sigs = _lsh_sigs(vecs, self.planes)
+            outs = []
+            for qi, qid in enumerate(self.qids):
+                cand = (sigs == self.qsigs[qi]).any(axis=1)
+                if not cand.any():
+                    continue
+                sims = round_half_away(vecs[cand] @ self.qm[qi], 6)
+                cvids = vids[cand]
+                order = np.lexsort((cvids, -sims))[:1]
+                outs.append(pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cvids[order],
+                     "cos_sim": sims[order]}))
+            return pd.concat(outs, ignore_index=True) if outs else empty
+
+    emb = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
+    )
+    partials = emb.map_batches(LshSelfTopK, batch_format="pandas", concurrency=(1, 4))
+    return _final_topk(partials.to_pandas(), 1)
+
+
+SQL_ANN_LSH_SELF_MATCH = f"""
+WITH q AS (
+  SELECT vec_id FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+  ORDER BY vec_id LIMIT {N_QUERIES}
+)
+SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS rank,
+       vec_id AS neighbor_id, 1.0 AS cos_sim
+FROM q
+"""
+
+QUERIES["ann_lsh_self_match"] = q_ann_lsh_self_match
+ORACLES["ann_lsh_self_match"] = SQL_ANN_LSH_SELF_MATCH
+
+
+def _twin_union(sf_dir: str):
+    """embeddings UNION a full twin copy (vec_id + TWIN_OFFSET): twins
+    arrive in different blocks, so per-batch state drift between actors
+    would split a twin pair's outputs."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    twin = emb.map_batches(
+        lambda df: df.assign(vec_id=df["vec_id"] + TWIN_OFFSET),
+        batch_format="pandas")
+    return emb.union(twin)
+
+
+def _twin_agg(pairs, val_col: str, out_col: str) -> "ray.data.Dataset":
+    """(orig_id, val) rows -> one row per orig id: (vec_id, n_copies,
+    n_distinct_<out_col>) via one id-keyed bucket shuffle."""
+    from nfl_feature_store_ray.stages.bucketize import map_conv_buckets
+
+    def per_id(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("orig_id")[val_col].agg(["size", "nunique"]).reset_index()
+        return pd.DataFrame({"vec_id": a["orig_id"].astype("int64"),
+                             "n_copies": a["size"].astype("int32"),
+                             out_col: a["nunique"].astype("int32")})
+
+    return map_conv_buckets(pairs, per_id, key="orig_id",
+                            sort_cols=["orig_id"], num_buckets=16)
+
+
+def q_kmeans_twin_consistency(sf_dir: str):
+    cent, _ = kmeans_fit(sf_dir)
+    cent_ref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"orig_id": pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64")})
+        from nfl_feature_store_ray.functions.broadcast import cached_object_get
+        c = cached_object_get(cent_ref)
+        v = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {"orig_id": df["vec_id"].to_numpy(np.int64) % TWIN_OFFSET,
+             "cluster": (v @ c.T).argmax(axis=1).astype(np.int64)})
+
+    pairs = _twin_union(sf_dir).map_batches(assign, batch_format="pandas")
+    return _twin_agg(pairs, "cluster", "n_distinct_clusters")
+
+
+SQL_KMEANS_TWIN = """
+SELECT vec_id, CAST(2 AS INTEGER) AS n_copies,
+       CAST(1 AS INTEGER) AS n_distinct_clusters
+FROM embeddings
+"""
+
+QUERIES["kmeans_twin_consistency"] = q_kmeans_twin_consistency
+ORACLES["kmeans_twin_consistency"] = SQL_KMEANS_TWIN
+
+
+def q_pq_twin_codes(sf_dir: str):
+    books = pq_train(sf_dir)
+    books_ref = ray.put(books)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"orig_id": pd.Series([], dtype="int64"),
+                                 "code_key": pd.Series([], dtype="int64")})
+        from nfl_feature_store_ray.functions.broadcast import cached_object_get
+        b = cached_object_get(books_ref)
+        v = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        dsz = b.shape[2]
+        codes = np.empty((len(v), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = v[:, m * dsz:(m + 1) * dsz]
+            d2 = ((sub[:, None, :] - b[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1)
+        # PQ_K = 16 centroids -> 4 bits per subspace; pack the M code
+        # words into ONE int64 key (vectorized, no per-row loop)
+        key = (codes * (PQ_K ** np.arange(PQ_M, dtype=np.int64))).sum(axis=1)
+        return pd.DataFrame(
+            {"orig_id": df["vec_id"].to_numpy(np.int64) % TWIN_OFFSET,
+             "code_key": key})
+
+    pairs = _twin_union(sf_dir).map_batches(encode, batch_format="pandas")
+    return _twin_agg(pairs, "code_key", "n_distinct_codes")
+
+
+SQL_PQ_TWIN = """
+SELECT vec_id, CAST(2 AS INTEGER) AS n_copies,
+       CAST(1 AS INTEGER) AS n_distinct_codes
+FROM embeddings
+"""
+
+QUERIES["pq_twin_codes"] = q_pq_twin_codes
+ORACLES["pq_twin_codes"] = SQL_PQ_TWIN

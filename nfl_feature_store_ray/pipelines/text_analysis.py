@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 from nfl_feature_store_ray.functions.rounding import round_half_away
 import pandas as pd
+import ray
 
 from nfl_feature_store_ray.functions import textfuncs as tf
 from nfl_feature_store_ray.sources.readers import read_table
@@ -710,6 +711,13 @@ def q_sketch_top_tokens(sf_dir: str):
     gate — `top_tokens` is the exact gated variant; the bound and the
     planted-heavy-hitter recall are pinned by tests/test_sketch.py."""
     docs = read_table(sf_dir, "documents", columns=["text"])
+    return mg_summary(docs)
+
+
+def mg_summary(docs) -> pd.DataFrame:
+    """Distributed Misra-Gries over a documents Dataset -> (tok, est,
+    err_bound) summary frame (shared by q_sketch_top_tokens and the
+    planted-heavy-hitter gate)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["text"].str.lower().str.split(" ").explode().dropna().value_counts()
@@ -738,6 +746,59 @@ def q_sketch_top_tokens(sf_dir: str):
 
 
 QUERIES["sketch_top_tokens"] = q_sketch_top_tokens  # rows-only (approximate)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries planted-invariant gate (r04 verdict #3): the corpus vocab is
+# near-uniform (no natural heavy hitter), so the gate PLANTS one — a
+# synthetic document repeating one out-of-vocab token P times, P sized so
+# it crosses the MG survival threshold on the unioned stream:
+#   P > 2*(N0+P)/(MG_K+1)  <=>  P > 2*N0/(MG_K-1)  =>  P = (2*N0)//23 + 1
+# (total MG undercount <= 2*N_total/(MG_K+1): one batch-compression pass
+# plus one driver re-compression). The MG contract then guarantees the
+# planted token SURVIVES with est <= P <= est + err_bound. The engine
+# verifies all three conditions against its own summary and emits ONE row
+# (tok, cnt=P, in_summary) — P is pure integer arithmetic on the corpus
+# token count, so the DuckDB oracle states the identical row exactly.
+# ---------------------------------------------------------------------------
+MG_PLANT_TOK = "zzplanted"
+
+
+def q_sketch_mg_heavy(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.lower().str.split(" ").explode().dropna().size
+        return pd.DataFrame({"n": [np.int64(n)]})
+
+    n0 = docs.map_batches(count_part, batch_format="pandas").sum("n")
+    n0 = int(n0 or 0)
+    p = (2 * n0) // (MG_K - 1) + 1
+    planted = ray.data.from_pandas(
+        pd.DataFrame({"text": [" ".join([MG_PLANT_TOK] * p)]}))
+    summary = mg_summary(docs.union(planted))
+    row = summary[summary["tok"] == MG_PLANT_TOK]
+    ok = bool(
+        len(row) == 1
+        and int(row["est"].iloc[0]) <= p
+        and p <= int(row["est"].iloc[0]) + int(row["err_bound"].iloc[0]))
+    return pd.DataFrame({"tok": [MG_PLANT_TOK],
+                         "cnt": np.asarray([p], dtype=np.int64),
+                         "in_summary": [ok]})
+
+
+SQL_SKETCH_MG_HEAVY = f"""
+WITH ws AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+)
+SELECT '{MG_PLANT_TOK}' AS tok,
+       CAST((2 * COUNT(*)) // {MG_K - 1} + 1 AS BIGINT) AS cnt,
+       TRUE AS in_summary
+FROM ws
+"""
+
+QUERIES["sketch_mg_heavy"] = q_sketch_mg_heavy
+ORACLES["sketch_mg_heavy"] = SQL_SKETCH_MG_HEAVY
 
 
 # ---------------------------------------------------------------------------
@@ -1134,28 +1195,93 @@ def cms_estimate(table: pd.DataFrame, probes: np.ndarray) -> np.ndarray:
     return ests
 
 
+def _cms_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch sparse CMS partial from exact batch value_counts."""
+    vc = df["text"].str.lower().str.split(" ").explode().dropna().value_counts()
+    if not len(vc):
+        return pd.DataFrame({"d": pd.Series([], dtype="int64"),
+                             "w": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    return _cms_rows(vc.index.to_numpy(object), vc.to_numpy(np.int64))
+
+
+def cms_merged(docs) -> pd.DataFrame:
+    """Merged sparse CMS over a documents Dataset: one map_batches pass,
+    driver merge is a groupby-sum over <= D*W cells."""
+    parts = docs.map_batches(_cms_partial, batch_format="pandas").to_pandas()
+    return parts.groupby(["d", "w"], as_index=False)["cnt"].sum()
+
+
 def q_sketch_cms(sf_dir: str):
     """CMS frequency estimates for the stopword probe set over the corpus
     token stream. Per batch: exact value_counts -> one sparse (d, w, cnt)
     partial; driver merge is a groupby-sum over <= D*W cells."""
     docs = read_table(sf_dir, "documents", columns=["text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["text"].str.lower().str.split(" ").explode().dropna().value_counts()
-        if not len(vc):
-            return pd.DataFrame({"d": pd.Series([], dtype="int64"),
-                                 "w": pd.Series([], dtype="int64"),
-                                 "cnt": pd.Series([], dtype="int64")})
-        return _cms_rows(vc.index.to_numpy(object), vc.to_numpy(np.int64))
-
-    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
-    merged = parts.groupby(["d", "w"], as_index=False)["cnt"].sum()
+    merged = cms_merged(docs)
     probes = np.asarray(sorted(_STOPWORDS), dtype=object)
     est = cms_estimate(merged, probes)
     return pd.DataFrame({"tok": probes, "est": est.astype("int64")})
 
 
 QUERIES["sketch_cms"] = q_sketch_cms  # rows-only (hash cells not SQL-portable)
+
+
+# ---------------------------------------------------------------------------
+# CMS planted-invariant gate (r04 verdict #3): the sketch itself is not
+# SQL-portable, but its CONTRACT is — a Count-Min estimate (min over D
+# rows of non-negative counters) can never undercount, and the standard
+# eps = 2/W accuracy bound says est <= true + 2N/W (per row in
+# expectation, min over D independent rows; deterministic for a fixed
+# corpus + seeds). The engine computes est AND the exact probe counts,
+# emits (tok, true_cnt, ge_true, within_bound) with both booleans
+# guaranteed TRUE by the contract; the DuckDB oracle computes the same
+# exact counts with literal TRUEs. A hash mismatch means the distributed
+# sketch (partial build, cell merge, point query) broke its guarantee.
+# ---------------------------------------------------------------------------
+def q_sketch_cms_bounds(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    merged = cms_merged(docs)
+    probes = np.asarray(sorted(_STOPWORDS), dtype=object)
+    est = cms_estimate(merged, probes)
+
+    def exact_part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ").explode().dropna()
+        vc = toks[toks.isin(_STOPWORDS)].value_counts()
+        out = pd.DataFrame({"tok": vc.index.astype(str),
+                            "cnt": vc.to_numpy(np.int64)})
+        # null-token row carries the batch's total token count (the N of
+        # the bound) — same trick as the MG offset row
+        return pd.concat(
+            [out, pd.DataFrame({"tok": [None], "cnt": [np.int64(toks.size)]})],
+            ignore_index=True)
+
+    ex = docs.map_batches(exact_part, batch_format="pandas").to_pandas()
+    n_total = int(ex.loc[ex["tok"].isna(), "cnt"].sum())
+    cnts = ex.dropna(subset=["tok"]).groupby("tok")["cnt"].sum()
+    true = np.asarray([int(cnts.get(t, 0)) for t in probes], dtype=np.int64)
+    return pd.DataFrame(
+        {"tok": probes.astype(str),
+         "true_cnt": true,
+         "ge_true": est >= true,
+         # exact integer arithmetic: est <= true + 2N/W
+         "within_bound": est * CMS_W <= true * CMS_W + 2 * n_total})
+
+
+_CMS_PROBE_VALUES = ", ".join(f"('{t}')" for t in sorted(_STOPWORDS))
+
+SQL_SKETCH_CMS_BOUNDS = f"""
+WITH ws AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+p(tok) AS (VALUES {_CMS_PROBE_VALUES})
+SELECT p.tok, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS true_cnt,
+       TRUE AS ge_true, TRUE AS within_bound
+FROM p LEFT JOIN (SELECT tok, COUNT(*) AS cnt FROM ws GROUP BY tok) c
+  USING (tok)
+"""
+
+QUERIES["sketch_cms_bounds"] = q_sketch_cms_bounds
+ORACLES["sketch_cms_bounds"] = SQL_SKETCH_CMS_BOUNDS
 
 
 # ---------------------------------------------------------------------------

@@ -4069,17 +4069,26 @@ def q_winsorize_day(sf_dir: str):
         day = g["ts"].astype("datetime64[us]").dt.floor("D")
         v = g["value"].to_numpy(dtype="float64")
         vc = np.rint(v * 100.0)  # NaN stays NaN
-        out = np.full(len(g), np.nan)
-        d = pd.DataFrame({"day": day}).groupby("day", sort=False)
-        for _, idx in d.indices.items():
-            vv = vc[idx]
-            s = np.sort(vv[~np.isnan(vv)])
-            n = len(s)
-            if n == 0:
-                continue  # all-NULL day: thresholds NULL -> output NULL
-            lo = s[max(1, int(np.ceil(0.05 * n))) - 1]
-            hi = s[max(1, int(np.ceil(0.95 * n))) - 1]
-            out[idx] = np.minimum(np.maximum(vv, lo), hi)
+        # Vectorized per-day quantile_disc gather: one lexsort of the
+        # non-NULL values keyed by day code, then the rank-rule index
+        # (max(1, ceil(q*n)) - 1, same float expression as the SQL probe)
+        # read straight out of the sorted array — no per-day Python loop.
+        codes, _ = pd.factorize(day, sort=False)
+        valid = ~np.isnan(vc)
+        n_groups = int(codes.max()) + 1 if len(codes) else 0
+        cnt = np.bincount(codes[valid], minlength=n_groups)
+        order = np.lexsort((vc[valid], codes[valid]))
+        sv = vc[valid][order]
+        ends = np.cumsum(cnt)
+        starts = ends - cnt
+        lo_i = starts + np.maximum(1, np.ceil(0.05 * cnt).astype(np.int64)) - 1
+        hi_i = starts + np.maximum(1, np.ceil(0.95 * cnt).astype(np.int64)) - 1
+        lo = np.full(n_groups, np.nan)
+        hi = np.full(n_groups, np.nan)
+        nz = cnt > 0  # all-NULL day: thresholds NULL -> output NULL
+        lo[nz] = sv[lo_i[nz]]
+        hi[nz] = sv[hi_i[nz]]
+        out = np.minimum(np.maximum(vc, lo[codes]), hi[codes])
         return pd.DataFrame(
             {"conv_id": g["conv_id"], "_seq": g["_seq"],
              "w_value": round_half_away(out / 100.0, 6)}

@@ -27,6 +27,7 @@ DOC_QUERIES = [
     "dedup_edit_distance", "media_dedup", "cooccurrence", "graph_triangles",
     "vocab_overlap", "top_bigrams", "pagerank", "posting_lists", "typo_stats",
     "doc_offsets", "source_overlap", "sample_temperature", "dup_spans",
+    "sketch_cms_bounds", "sketch_mg_heavy",
 ]
 
 
@@ -218,7 +219,9 @@ def emb_fuzz_dir():
     yield EMB_FUZZ_DIR
 
 
-@pytest.mark.parametrize("name", ["ann_cosine_topk", "dedup_embedding", "centroid_label"])
+@pytest.mark.parametrize("name", ["ann_cosine_topk", "dedup_embedding", "centroid_label",
+                                  "ann_lsh_self_match", "kmeans_twin_consistency",
+                                  "pq_twin_codes"])
 def test_emb_fuzz_query_matches_oracle(name, emb_fuzz_dir):
     import __ray_entry__ as e
 

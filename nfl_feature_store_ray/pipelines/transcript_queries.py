@@ -157,14 +157,30 @@ def q_ewma(sf_dir: str):
 
 # Segment-renormalized closed form of the recursive EWMA (adjust=False) —
 # overflow-safe at ANY conversation length (functions.sqlgen docstring;
-# the naive (1/(1-a))^k form hits inf around k ~ 3500).
+# the naive (1/(1-a))^k form hits inf around k ~ 3500). NULL-value
+# semantics (round 5): the EWMA runs over the NON-NULL subsequence (the
+# engine's ignore_na=True), so the closed form gets a dense index over
+# value-non-null rows only and each row reads the most recent non-null
+# row's EWMA via LAG(y IGNORE NULLS).
 from nfl_feature_store_ray.functions.sqlgen import ewma_closed_ctes  # noqa: E402
 
 SQL_EWMA = f"""{_T},
-{ewma_closed_ctes("t", ["conv_id"], "turn_idx", "value", "yew", "y", EWMA_ALPHA)}
+tnn AS (
+  SELECT conv_id, turn_idx, value,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS nridx
+  FROM t WHERE value IS NOT NULL
+),
+{ewma_closed_ctes("tnn", ["conv_id"], "nridx", "value", "yew", "y", EWMA_ALPHA)},
+j AS (
+  SELECT t.conv_id, t.turn_idx, yew.y
+  FROM t
+  LEFT JOIN tnn USING (conv_id, turn_idx)
+  LEFT JOIN yew USING (conv_id, nridx)
+)
 SELECT conv_id, turn_idx,
-       ROUND(LAG(y) OVER (PARTITION BY conv_id ORDER BY turn_idx), 6) AS ewma_value
-FROM yew
+       ROUND(LAG(y IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx), 6)
+         AS ewma_value
+FROM j
 """
 
 
@@ -221,14 +237,17 @@ w AS (
   FROM s
 ),
 agg AS (
-  SELECT conv_id, sid, SUM(vc) AS total, COUNT(*) AS n,
-         LAST(vc ORDER BY ts, _seq) AS lastv
+  -- NULL-value semantics (round 5): totals/counts skip NULLs, the seed is
+  -- the session's last NON-NULL raw value (NULL if the session had none),
+  -- and an all-NULL session contributes 0 to the next session's sum
+  SELECT conv_id, sid, COALESCE(SUM(vc), 0) AS total, COUNT(vc) AS n,
+         LAST(vc ORDER BY ts, _seq) FILTER (vc IS NOT NULL) AS lastv
   FROM s GROUP BY conv_id, sid
 ),
 agg2 AS (
   SELECT conv_id, sid,
          LAG(lastv) OVER (PARTITION BY conv_id ORDER BY sid) AS seed,
-         CASE WHEN sid = 0 THEN total / (100.0 * n)
+         CASE WHEN sid = 0 THEN CASE WHEN n > 0 THEN total / (100.0 * n) END
               ELSE (LAG(lastv) OVER (PARTITION BY conv_id ORDER BY sid) + total)
                    / (100.0 * (1 + n))
          END AS final_exp
@@ -760,19 +779,27 @@ def _phase_select(p: str) -> str:
 # every turn via LAST_VALUE IGNORE NULLS over strictly-prior rows.
 SQL_PHASE_WINDOWS = f"""{_T},
 w AS (
+  -- NULL-value semantics (round 5): COUNT(value)/SUM skip NULLs; the
+  -- EWMA's dense index runs over the role's NON-NULL rows only, so the
+  -- closed form reproduces the engine's ignore_na recursion and null
+  -- rows carry NULL incl_ewma (skipped by LAST_VALUE IGNORE NULLS below)
   SELECT conv_id, turn_idx, role, ts, _seq, value,
-         SUM(ROUND(value * 100)) OVER pr / (100.0 * COUNT(*) OVER pr) AS incl_avg,
+         SUM(ROUND(value * 100)) OVER pr / (100.0 * COUNT(value) OVER pr) AS incl_avg,
          AVG(value) OVER (PARTITION BY conv_id, role ORDER BY ts, _seq
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS incl_form,
-         ROW_NUMBER() OVER (PARTITION BY conv_id, role ORDER BY ts, _seq) - 1 AS ridx
+         CASE WHEN value IS NOT NULL THEN
+           ROW_NUMBER() OVER (PARTITION BY conv_id, role, value IS NOT NULL
+                              ORDER BY ts, _seq) - 1
+         END AS ridx
   FROM t
   WINDOW pr AS (PARTITION BY conv_id, role ORDER BY ts, _seq
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
-{ewma_closed_ctes("w", ["conv_id", "role"], "ridx", "value", "pew", "incl_ewma",
+wnn AS (SELECT conv_id, role, ridx, value FROM w WHERE value IS NOT NULL),
+{ewma_closed_ctes("wnn", ["conv_id", "role"], "ridx", "value", "pew", "incl_ewma",
                   EWMA_ALPHA)},
 cc AS (
-  SELECT w.*, pew.incl_ewma FROM w JOIN pew USING (conv_id, role, ridx)
+  SELECT w.*, pew.incl_ewma FROM w LEFT JOIN pew USING (conv_id, role, ridx)
 )
 SELECT conv_id, turn_idx,{",".join(_phase_select(p) for p in _PHASES)}
 FROM cc

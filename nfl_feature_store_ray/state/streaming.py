@@ -95,10 +95,13 @@ class _PhaseState:
     seen so far — exactly the values every later row propagates until the
     next phase row (the batch kernels' shift+ffill semantics)."""
 
-    count: int = 0  # phase rows seen
-    csum: float = 0.0  # cents sum over phase rows (exact integers)
+    count: int = 0  # phase ROWS seen (window extent)
+    ncount: int = 0  # NON-NULL phase values seen (divisors / EWMA index)
+    csum: float = 0.0  # cents sum over non-null phase values (exact ints)
     tail: list = field(default_factory=list)  # last <= FORM_WINDOW raw values
     ewma: float | None = None
+    # last NON-NULL inclusive aggregate per family (NULL-skip propagation,
+    # == the batch kernels' ffill / LAST_VALUE IGNORE NULLS)
     prev_last: float = float("nan")
     prev_form: float = float("nan")
     prev_avg: float = float("nan")
@@ -314,24 +317,36 @@ class StreamingWindowActor:
 
             # expanding (register offset) — sums run on exact scaled
             # integers (schemas.QUANT_SCALE) so the streaming result is
-            # bit-identical to the batch kernel at any batch split
-            xc = np.rint(x * QUANT_SCALE)
+            # bit-identical to the batch kernel at any batch split.
+            # NULL-value semantics (round 5, == batch kernels): NULLs are
+            # zero-filled in the sum and excluded from the count; the
+            # count register tracks NON-NULL rows only
+            nn = ~np.isnan(x)
+            nnf = nn.astype("float64")
+            xc = np.where(nn, np.rint(x * QUANT_SCALE), 0.0)
             cs = np.cumsum(xc)
             prior_sum = ms.total + cs - xc
-            prior_cnt = ms.count + np.arange(n, dtype="float64")
+            prior_cnt = ms.count + np.cumsum(nnf) - nnf
             with np.errstate(invalid="ignore", divide="ignore"):
                 out[f"avg_{m}"] = np.where(
                     prior_cnt > 0, prior_sum / (QUANT_SCALE * prior_cnt), np.nan
                 )
 
-            # EWMA (register carry, vectorized chunked closed-form scan);
-            # output at row i is the register BEFORE consuming x[i]
+            # EWMA (register carry, vectorized chunked closed-form scan
+            # over the NON-NULL subsequence == pandas ignore_na=True);
+            # output at row i is the register before consuming row i's
+            # value: the last non-null row's EWMA strictly before i
             reg_in = ms.ewma
-            z, ms.ewma = _ewma_scan(x, reg_in, EWMA_ALPHA)
-            e = np.empty(n)
-            if n:
-                e[0] = np.nan if reg_in is None else reg_in
-                e[1:] = z[:-1]
+            xs_nn = x[nn]
+            z, ms.ewma = _ewma_scan(xs_nn, reg_in, EWMA_ALPHA)
+            carry = np.nan if reg_in is None else reg_in
+            has_prior, lvi = _last_valid_prior(nn, n)
+            if len(xs_nn):
+                zpos = np.full(n, -1, dtype=np.int64)
+                zpos[np.flatnonzero(nn)] = np.arange(len(xs_nn))
+                e = np.where(has_prior, z[np.maximum(zpos[lvi], 0)], carry)
+            else:
+                e = np.full(n, carry)
             out[f"ewma_{m}"] = e
 
             # session-seeded expanding (segment loop; breaks are rare) —
@@ -341,9 +356,11 @@ class StreamingWindowActor:
             for bp in break_positions:
                 if bp > seg_start:
                     seg = slice(seg_start, bp)
-                    xs = xc[seg]
+                    xs = xc[seg]          # zero-filled cents
+                    nns = nnf[seg]        # 0/1 non-null indicator
                     cs_in = ms.sess_sum + np.cumsum(xs) - xs
-                    cnt_in = ms.sess_cnt + np.arange(bp - seg_start, dtype="float64")
+                    cnt_in = ms.sess_cnt + np.cumsum(nns) - nns
+                    seed_v = np.nan if ms.seed is None else ms.seed
                     if ms.first_session:
                         with np.errstate(invalid="ignore", divide="ignore"):
                             sa[seg] = np.where(
@@ -352,29 +369,33 @@ class StreamingWindowActor:
                                 np.nan,
                             )
                     else:
-                        base = (ms.seed + cs_in) / (QUANT_SCALE * (1.0 + cnt_in))
+                        base = (seed_v + cs_in) / (QUANT_SCALE * (1.0 + cnt_in))
                         sa[seg] = np.where(
                             cnt_in > 0,
                             base,
                             np.nan if ms.prev_final is None else ms.prev_final,
                         )
                     ms.sess_sum += float(np.sum(xs))
-                    ms.sess_cnt += len(xs)
-                    ms.sess_last = float(xs[-1])
+                    ms.sess_cnt += int(np.sum(nns))
+                    nz = np.flatnonzero(nns)
+                    if len(nz):  # seed = last NON-NULL raw value of session
+                        ms.sess_last = float(xs[nz[-1]])
                 if bp < n:  # close the session at the break
+                    seed_v = np.nan if ms.seed is None else ms.seed
                     if ms.first_session:
                         ms.prev_final = (
                             ms.sess_sum / (QUANT_SCALE * ms.sess_cnt)
                             if ms.sess_cnt else None
                         )
                     else:
-                        ms.prev_final = (ms.seed + ms.sess_sum) / (
+                        ms.prev_final = (seed_v + ms.sess_sum) / (
                             QUANT_SCALE * (1.0 + ms.sess_cnt)
                         )
                     ms.seed = ms.sess_last
                     ms.first_session = False
                     ms.sess_sum = 0.0
                     ms.sess_cnt = 0
+                    ms.sess_last = None  # all-NULL sessions seed NULL
                     seg_start = bp
             out[f"session_avg_{m}"] = sa
 
@@ -387,18 +408,55 @@ class StreamingWindowActor:
                 idxs = np.flatnonzero(pmask)
                 k = len(idxs)
                 if k:
-                    xs = x[idxs]
-                    xcs = xc[idxs]
-                    cnt_i = ps.count + np.arange(1, k + 1, dtype="float64")
-                    avg_i = (ps.csum + np.cumsum(xcs)) / (QUANT_SCALE * cnt_i)
+                    xs = x[idxs]          # raw phase values (may be NaN)
+                    xcs = xc[idxs]        # zero-filled cents
+                    nnp = nn[idxs]
+                    cnt_i = ps.ncount + np.cumsum(nnp.astype("float64"))
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        avg_i = np.where(
+                            cnt_i > 0,
+                            (ps.csum + np.cumsum(xcs))
+                            / (QUANT_SCALE * np.maximum(cnt_i, 1)),
+                            np.nan,
+                        )
                     ptail = np.asarray(ps.tail, dtype="float64")
                     pall = np.concatenate([ptail, xs])
+                    pnn = ~np.isnan(pall)
                     kt = len(ptail)
-                    csum = np.concatenate([[0.0], np.cumsum(pall)])
+                    csum = np.concatenate(
+                        [[0.0], np.cumsum(np.where(pnn, pall, 0.0))])
+                    ncsum = np.concatenate(
+                        [[0.0], np.cumsum(pnn.astype("float64"))])
                     endpos = kt + np.arange(1, k + 1)
-                    wlen = np.minimum(cnt_i, FORM_WINDOW).astype("int64")
-                    form_i = (csum[endpos] - csum[endpos - wlen]) / wlen
-                    ew_i, reg = _ewma_scan(xs, ps.ewma, EWMA_ALPHA)
+                    rcnt_i = ps.count + np.arange(1, k + 1)  # phase ROWS
+                    wlen = np.minimum(rcnt_i, FORM_WINDOW).astype("int64")
+                    nwin = ncsum[endpos] - ncsum[endpos - wlen]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        form_i = np.where(
+                            nwin > 0,
+                            (csum[endpos] - csum[endpos - wlen])
+                            / np.maximum(nwin, 1),
+                            np.nan,
+                        )
+                    # EWMA over the NON-NULL phase subsequence, carried at
+                    # null phase rows (== batch ignore_na + forward_fill)
+                    xs_nn = xs[nnp]
+                    ew_reg_in = ps.ewma
+                    z, reg = _ewma_scan(xs_nn, ew_reg_in, EWMA_ALPHA)
+                    ecarry = np.nan if ew_reg_in is None else ew_reg_in
+                    if len(xs_nn):
+                        zp = np.full(k, -1, dtype=np.int64)
+                        zp[np.flatnonzero(nnp)] = np.arange(len(xs_nn))
+                        incl_nn = np.maximum.accumulate(
+                            np.where(nnp, np.arange(k), -1))
+                        ew_i = np.where(
+                            incl_nn >= 0,
+                            z[np.maximum(zp[np.maximum(incl_nn, 0)], 0)],
+                            ecarry,
+                        )
+                    else:
+                        reg = ew_reg_in
+                        ew_i = np.full(k, ecarry)
                 else:
                     xs = avg_i = form_i = ew_i = np.empty(0)
                 sel = lpi >= 0
@@ -407,23 +465,36 @@ class StreamingWindowActor:
                     ("last", xs, ps.prev_last), ("form", form_i, ps.prev_form),
                     ("avg", avg_i, ps.prev_avg), ("ewma", ew_i, ps.prev_ewma),
                 ):
-                    vals = np.full(n, prev)
-                    if k:
-                        vals[sel] = incl[pj[sel]]
+                    # NULL-skip propagation: a NaN inclusive aggregate at a
+                    # phase row is transparent (batch ffill / LAST_VALUE
+                    # IGNORE NULLS); the shared gather is the no-NaN fast path
+                    if k and np.isnan(incl).any():
+                        rowarr = np.full(n, np.nan)
+                        rowarr[idxs] = incl
+                        rowvalid = np.zeros(n, dtype=bool)
+                        rowvalid[idxs] = ~np.isnan(incl)
+                        hasp, lvi = _last_valid_prior(rowvalid, n)
+                        vals = np.where(hasp, rowarr[lvi], prev)
+                    else:
+                        vals = np.full(n, prev)
+                        if k:
+                            vals[sel] = incl[pj[sel]]
                     out[f"{fam}_{m}_{ph}"] = vals
                 if k:
                     ps.count += k
+                    ps.ncount += int(np.sum(nnp))
                     ps.csum += float(np.sum(xcs))
                     ps.ewma = reg
                     ps.tail = list(pall[-FORM_WINDOW:])
-                    ps.prev_last = float(xs[-1])
-                    ps.prev_form = float(form_i[-1])
-                    ps.prev_avg = float(avg_i[-1])
-                    ps.prev_ewma = float(ew_i[-1])
+                    for fam, incl in (("last", xs), ("form", form_i),
+                                      ("avg", avg_i), ("ewma", ew_i)):
+                        good = np.flatnonzero(~np.isnan(incl))
+                        if len(good):
+                            setattr(ps, f"prev_{fam}", float(incl[good[-1]]))
 
-            # update registers + tail
+            # update registers + tail (count register = NON-NULL rows)
             ms.total += float(np.sum(xc))
-            ms.count += n
+            ms.count += int(np.sum(nn))
             ms.tail = list(allv[-_TAIL:])
 
         # --- commit conv-level state
@@ -449,17 +520,32 @@ class StreamingWindowActor:
 def _rolling_shifted_with_prefix(
     allv: np.ndarray, prefix_len: int, n: int, window: int, turns_before: int
 ) -> np.ndarray:
-    """mean of up to `window` strictly-prior values, where `allv` holds
-    prefix_len carried tail values followed by the n batch values, and the
-    conversation already saw `turns_before` rows total."""
-    cs = np.concatenate([[0.0], np.cumsum(allv)])
-    out = np.empty(n)
+    """mean of the NON-NULL values among up to `window` strictly-prior
+    rows, where `allv` holds prefix_len carried tail values followed by
+    the n batch values, and the conversation already saw `turns_before`
+    rows total. NULL when the window holds no non-null value (SQL AVG)."""
+    nn = ~np.isnan(allv)
+    cs = np.concatenate([[0.0], np.cumsum(np.where(nn, allv, 0.0))])
+    ncs = np.concatenate([[0.0], np.cumsum(nn.astype("float64"))])
     for_i = np.arange(n)
     glob = turns_before + for_i  # global position of each batch row
     hi = prefix_len + for_i  # allv index one past the last prior value
-    avail = np.minimum(glob, window)  # how many prior values the window has
+    avail = np.minimum(glob, window)  # how many prior rows the window has
     # the tail always contains >= min(glob, _TAIL) >= avail values
     lo = hi - avail
+    nwin = ncs[hi] - ncs[lo]  # non-null rows among them
     with np.errstate(invalid="ignore", divide="ignore"):
-        out = np.where(avail > 0, (cs[hi] - cs[lo]) / np.maximum(avail, 1), np.nan)
+        out = np.where(nwin > 0, (cs[hi] - cs[lo]) / np.maximum(nwin, 1), np.nan)
     return out
+
+
+def _last_valid_prior(valid: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(has-prior, index) of the last ``valid`` row STRICTLY before each
+    of the n rows (in-batch; -1 -> carry the register)."""
+    marker = np.where(valid, np.arange(n), -1)
+    incl = np.maximum.accumulate(marker)
+    lpi = np.empty(n, dtype=np.int64)
+    if n:
+        lpi[0] = -1
+        lpi[1:] = incl[:-1]
+    return lpi >= 0, np.maximum(lpi, 0)

@@ -25,12 +25,15 @@ empirically, probes 1-5) transplanted to the transcript domain (§7.0):
 (ts, tie) strictly earlier — the zero-temporal-leakage contract
 (BASELINE.json north_rule), enforced by tests/test_leakage.py.
 
-Null contract: metric columns are expected non-null at window time —
-nullable metrics go through ``stages.fill.fill_zero_except`` first (the
-reference fills before windowing too, M11). Exempt metrics keep NaN and
-get NaN-PROPAGATING windows: an all-null metric yields all-null features
-(tests/test_edge_cases.py); mixed-null skip-semantics are deliberately
-NOT implemented — fill first.
+Null contract (round 5): metric NULLs get SQL aggregate semantics — every
+window family computes over the NON-NULL values in its frame (AVG/SUM
+skip, COUNT counts non-null, EWMA runs over the non-null subsequence =
+pandas ignore_na=True, session seeds take the last non-null raw value)
+and yields NULL when the frame holds no non-null value. ``last_X`` stays
+raw LAG (a NULL previous value is NULL). An all-null metric therefore
+still yields all-null features (tests/test_edge_cases.py), and
+``stages.fill.fill_zero_except`` remains available for reference-M11
+fill-before-window pipelines.
 
 Execution shape: one hash-bucket shuffle (stages.bucketize), then ONE
 vectorized pandas scan per bucket computing every family. Rolling sums use
@@ -114,28 +117,42 @@ def compute_bucket_windows(
 
     # --- rolling indicator rate (W6) --------------------------------------
     df["roll10_tool_rate"] = _rolling_mean_shifted(
-        df["is_tool"].astype("float64"), conv, cumcount, cover_window
+        df["is_tool"].astype("float64"),
+        pd.Series(1.0, index=df.index),  # indicator is never NULL
+        conv, cover_window,
     )
 
     # --- metric window families -------------------------------------------
+    # NULL-value semantics (round 5): every family skips NULLs the way the
+    # SQL aggregates do — AVG/SUM over the window's NON-NULL values (NULL
+    # when none), EWMA over the non-null subsequence (pandas
+    # ignore_na=True == the oracle's filtered closed form), seeds/finals
+    # from the last NON-NULL value. Sums run on ZERO-FILLED exact cents
+    # plus a separate non-null counter, so a NaN can never poison a cumsum
+    # (the int64-wrap hazard class from PARITY.md round 4).
     for m in metrics:
         x = df[m].astype("float64")
         xg = x.groupby(conv, sort=False)
         df[f"last_{m}"] = xg.shift()
-        df[f"form_{m}"] = _rolling_mean_shifted(x, conv, cumcount, form_window)
+        nn = x.notna()
+        nnf = nn.astype("float64")
+        df[f"form_{m}"] = _rolling_mean_shifted(x.fillna(0.0), nnf, conv, form_window)
         # expanding means sum exact scaled integers (schemas.QUANT_SCALE):
         # integer addition in float64 is exact below 2^53, so the sum is
         # order-independent — bit-identical across partitionings and vs SQL
         # engines, which float cumsum vs segment-tree summation is not.
-        xc = pd.Series(np.rint(x.to_numpy() * QUANT_SCALE), index=df.index)
+        xc = pd.Series(
+            np.where(nn.to_numpy(), np.rint(x.to_numpy() * QUANT_SCALE), 0.0),
+            index=df.index,
+        )
         ccs = xc.groupby(conv, sort=False).cumsum()
-        cnt = cumcount.astype("float64")
-        df[f"avg_{m}"] = ((ccs - xc) / (QUANT_SCALE * cnt)).where(cnt > 0)
-        ew = xg.ewm(span=ewma_span, adjust=False).mean()
+        cntp = nnf.groupby(conv, sort=False).cumsum() - nnf
+        df[f"avg_{m}"] = ((ccs - xc) / (QUANT_SCALE * cntp)).where(cntp > 0)
+        ew = xg.ewm(span=ewma_span, adjust=False, ignore_na=True).mean()
         df[f"ewma_{m}"] = pd.Series(ew.to_numpy(), index=df.index).groupby(
             conv, sort=False
         ).shift()
-        df[f"session_avg_{m}"] = _session_seeded_expanding(df, conv, xc, m)
+        df[f"session_avg_{m}"] = _session_seeded_expanding(df, conv, xc, nnf, x, m)
 
     # --- per-phase (role-split) window families ---------------------------
     # Reference fold semantics (event_feature_store.md:12-18, SURVEY §1.1):
@@ -147,19 +164,29 @@ def compute_bucket_windows(
     if phases:
         role = df["role"]
         grp = [conv, role]
-        gkey = df.groupby(grp, sort=False)
-        icnt = gkey.cumcount().astype("float64") + 1.0
         for m in metrics:
             x = df[m].astype("float64")
-            xc = pd.Series(np.rint(x.to_numpy() * QUANT_SCALE), index=df.index)
+            nn = x.notna()
+            nnf = nn.astype("float64")
+            # inclusive NON-NULL count / zero-filled cents (NULL-skip, same
+            # convention as the base families above)
+            icnt = nnf.groupby(grp, sort=False).cumsum()
+            xc = pd.Series(
+                np.where(nn.to_numpy(), np.rint(x.to_numpy() * QUANT_SCALE), 0.0),
+                index=df.index,
+            )
             ccs = xc.groupby(grp, sort=False).cumsum()
-            iavg = ccs / (QUANT_SCALE * icnt)
-            cs = x.groupby(grp, sort=False).cumsum()
+            iavg = (ccs / (QUANT_SCALE * icnt)).where(icnt > 0)
+            cs = x.fillna(0.0).groupby(grp, sort=False).cumsum()
             lo = cs.groupby(grp, sort=False).shift(form_window).fillna(0.0)
-            iform = (cs - lo) / icnt.clip(upper=form_window)
+            nlo = icnt.groupby(grp, sort=False).shift(form_window).fillna(0.0)
+            nwin = icnt - nlo
+            iform = ((cs - lo) / nwin).where(nwin > 0)
             # groupby(two keys).ewm returns group-ordered rows ((conv, role)
             # groups are NOT contiguous) — realign on the original index
-            iewma = x.groupby(grp, sort=False).ewm(span=ewma_span, adjust=False).mean()
+            iewma = x.groupby(grp, sort=False).ewm(
+                span=ewma_span, adjust=False, ignore_na=True
+            ).mean()
             iewma.index = iewma.index.droplevel([0, 1])
             iewma = iewma.reindex(df.index)
             for p in phases:
@@ -179,25 +206,27 @@ def compute_bucket_windows(
 
 
 def _rolling_mean_shifted(
-    x: pd.Series, conv: pd.Series, cumcount: pd.Series, window: int
+    x0: pd.Series, nnf: pd.Series, conv: pd.Series, window: int
 ) -> pd.Series:
-    """mean of up to ``window`` strictly-prior values per conversation.
-
-    Equals SQL ``AVG(x) OVER (PARTITION BY conv ORDER BY ts, tie
-    ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)``; first row -> NaN.
+    """mean of the NON-NULL values among up to ``window`` strictly-prior
+    rows per conversation (``x0`` zero-filled, ``nnf`` the 0/1 non-null
+    indicator). Equals SQL ``AVG(x) OVER (PARTITION BY conv ORDER BY ts,
+    tie ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)`` — NULL when the
+    window holds no non-null value.
     """
-    cs = x.groupby(conv, sort=False).cumsum()
+    cs = x0.groupby(conv, sort=False).cumsum()
     csg = cs.groupby(conv, sort=False)
-    hi = csg.shift(1)
     # rows with fewer than `window` prior values: lo falls off group start -> 0
-    lo = csg.shift(1 + window).fillna(0.0)
-    s = hi - lo
-    n = cumcount.clip(upper=window).astype("float64")
+    s = csg.shift(1) - csg.shift(1 + window).fillna(0.0)
+    ncs = nnf.groupby(conv, sort=False).cumsum()
+    ng = ncs.groupby(conv, sort=False)
+    n = ng.shift(1) - ng.shift(1 + window).fillna(0.0)
     return (s / n).where(n > 0)
 
 
 def _session_seeded_expanding(
-    df: pd.DataFrame, conv: pd.Series, xc: pd.Series, m: str
+    df: pd.DataFrame, conv: pd.Series, xc: pd.Series, nnf: pd.Series,
+    x: pd.Series, m: str
 ) -> pd.Series:
     """W3: per-session expanding mean with prior-session seed (ref probe 3).
 
@@ -208,16 +237,21 @@ def _session_seeded_expanding(
     Session 0 (unseeded): row 0 -> NaN, row k -> mean(x[0..k-1]).
 
     ``xc`` is the metric pre-scaled to exact integers (x * QUANT_SCALE,
-    rinted) so every sum here is order-independent; divisions re-apply the
-    scale, producing the same doubles as a cents-exact SQL oracle.
+    rinted, ZERO-FILLED at NULLs) with ``nnf`` the 0/1 non-null indicator
+    so every sum here is order-independent and NULL-skipping; divisions
+    re-apply the scale, producing the same doubles as a cents-exact SQL
+    oracle. NULL semantics: sums/counts skip NULLs, the seed is the prior
+    session's last NON-NULL raw value (NULL if that session had none — no
+    deeper fallback), an all-NULL-so-far prefix yields NULL.
     """
     sess = df["session_id"]
     gcs = xc.groupby([conv, sess], sort=False)
-    cs_in = gcs.cumsum() - xc  # sum of strictly-prior values within session
-    cnt_in = df.groupby([conv, sess], sort=False).cumcount().astype("float64")
+    cs_in = gcs.cumsum() - xc  # sum of strictly-prior non-null values
+    cnt_in = nnf.groupby([conv, sess], sort=False).cumsum() - nnf
 
+    xcn = xc.where(nnf > 0)  # NaN at NULLs: agg sum/count/"last" skip them
     agg = (
-        pd.DataFrame({"conv_id": conv, "session_id": sess, "x": xc})
+        pd.DataFrame({"conv_id": conv, "session_id": sess, "x": xcn})
         .groupby(["conv_id", "session_id"], sort=False)["x"]
         .agg(total="sum", n="count", last="last")
         .reset_index()

@@ -167,37 +167,46 @@ def _apply_window_exprs(
     # exact scaled-integer metric columns (schemas.QUANT_SCALE): expanding
     # sums over rint(x*scale) are order-independent (integers are exact in
     # float64 < 2^53) -> bit-identical to the pandas kernel and the
-    # cents-exact SQL oracles regardless of partitioning.
+    # cents-exact SQL oracles regardless of partitioning. NULL-value
+    # semantics (round 5, same as the pandas kernel): sums run on
+    # ZERO-FILLED cents plus a separate non-null counter; rolling_mean
+    # natively skips nulls (== SQL AVG); EWMA runs over the non-null
+    # subsequence (ignore_nulls=True) with the carried value forward-
+    # filled at null rows (== pandas ignore_na=True).
     lf = lf.with_columns(
         [(c(m).cast(pl.Float64) * QUANT_SCALE).round(0).alias(f"_c_{m}") for m in metrics]
+        + [(c(m).cast(pl.Float64) * QUANT_SCALE).round(0).fill_null(0.0).alias(f"_c0_{m}")
+           for m in metrics]
+        + [c(m).is_not_null().cast(pl.Float64).alias(f"_nn_{m}") for m in metrics]
     )
 
     metric_exprs = []
     for m in metrics:
         x = c(m).cast(pl.Float64)
-        xc = c(f"_c_{m}")
-        cnt = x.cum_count() - 1
+        xc0 = c(f"_c0_{m}")
+        nnf = c(f"_nn_{m}")
+        cntp = nnf.cum_sum() - nnf  # strictly-prior non-null count
         metric_exprs += [
             x.shift(1).over(**over).alias(f"last_{m}"),
             x.shift(1).rolling_mean(form_window, min_samples=1).over(**over).alias(f"form_{m}"),
-            pl.when(cnt.over(**over) > 0)
-            .then(((xc.cum_sum() - xc) / (QUANT_SCALE * cnt)).over(**over))
+            pl.when(cntp.over(**over) > 0)
+            .then(((xc0.cum_sum() - xc0) / (QUANT_SCALE * cntp)).over(**over))
             .otherwise(None)
             .alias(f"avg_{m}"),
-            x.ewm_mean(span=ewma_span, adjust=False).shift(1).over(**over).alias(f"ewma_{m}"),
+            x.ewm_mean(span=ewma_span, adjust=False, ignore_nulls=True)
+            .forward_fill().shift(1).over(**over).alias(f"ewma_{m}"),
             # in-session prior sum / count for the seeded expanding family
-            ((xc.cum_sum() - xc).over("conv_id", "session_id")).alias(f"_cs_{m}"),
-            ((x.cum_count() - 1).cast(pl.Float64).over("conv_id", "session_id")).alias(
-                f"_cnt_{m}"
-            ),
+            ((xc0.cum_sum() - xc0).over("conv_id", "session_id")).alias(f"_cs_{m}"),
+            ((nnf.cum_sum() - nnf).over("conv_id", "session_id")).alias(f"_cnt_{m}"),
         ]
     lf = lf.with_columns(metric_exprs)
 
     # --- session-seeded expanding (W3): per-session aggregate + carryover --
     agg = lf.group_by(["conv_id", "session_id"], maintain_order=True).agg(
-        [c(f"_c_{m}").sum().alias(f"_total_{m}") for m in metrics]
+        [c(f"_c_{m}").sum().fill_null(0.0).alias(f"_total_{m}") for m in metrics]
         + [c(f"_c_{m}").count().alias(f"_n_{m}") for m in metrics]
-        + [c(f"_c_{m}").last().alias(f"_last_{m}") for m in metrics]
+        # seed = last NON-NULL raw value of the session (null if none)
+        + [c(f"_c_{m}").drop_nulls().last().alias(f"_last_{m}") for m in metrics]
     )
     seed_exprs = []
     for m in metrics:
@@ -252,12 +261,17 @@ def _apply_window_exprs(
         incl_exprs = []
         for m in metrics:
             x = c(m).cast(pl.Float64)
-            xc = (x * QUANT_SCALE).round(0)
-            icnt = x.cum_count().cast(pl.Float64)
+            xc0 = (x * QUANT_SCALE).round(0).fill_null(0.0)
+            nnf = x.is_not_null().cast(pl.Float64)
+            icnt = nnf.cum_sum()  # inclusive NON-NULL count
             incl_exprs += [
-                (xc.cum_sum() / (QUANT_SCALE * icnt)).over(**pr).alias(f"_iavg_{m}"),
+                pl.when(icnt.over(**pr) > 0)
+                .then((xc0.cum_sum() / (QUANT_SCALE * icnt)).over(**pr))
+                .otherwise(None)
+                .alias(f"_iavg_{m}"),
                 x.rolling_mean(form_window, min_samples=1).over(**pr).alias(f"_iform_{m}"),
-                x.ewm_mean(span=ewma_span, adjust=False).over(**pr).alias(f"_iewma_{m}"),
+                x.ewm_mean(span=ewma_span, adjust=False, ignore_nulls=True)
+                .forward_fill().over(**pr).alias(f"_iewma_{m}"),
             ]
         lf = lf.with_columns(incl_exprs)
 
@@ -268,36 +282,50 @@ def _apply_window_exprs(
         )
         seg = lf.select(new_conv.cum_sum().alias("s"))["s"].to_numpy().astype(np.int64) - 1
         role_arr = lf["role"].to_numpy()
-        phase_cols = {}
-        for p in phases:
-            mask = role_arr == p
-            # encode (segment, phase-row index) so cummax restarts per conv:
-            # a later segment's every element exceeds all earlier encodings
-            enc = seg * (n + 2) + np.where(mask, rows + 1, 0)
+        def _last_prior(vmask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """(valid, safe-index) of the last vmask row STRICTLY before
+            each row within its conv segment — encode (segment, row+1) so
+            one cummax restarts per conv (later segments dominate)."""
+            enc = seg * (n + 2) + np.where(vmask, rows + 1, 0)
             cm = np.maximum.accumulate(enc)
-            lpi_incl = cm % (n + 2) - 1  # last phase row <= current, own conv
-            # strictly-prior: take the previous row's inclusive index
+            lpi_incl = cm % (n + 2) - 1
             lpi = np.empty(n, dtype=np.int64)
             if n:  # empty blocks still need the full phase-column schema
                 lpi[1:] = lpi_incl[:-1]
                 lpi[0] = -1
                 lpi[np.flatnonzero(seg[1:] != seg[:-1]) + 1] = -1
-            valid = lpi >= 0
-            safe = np.maximum(lpi, 0)
+            return lpi >= 0, np.maximum(lpi, 0)
+
+        phase_cols = {}
+        for p in phases:
+            mask = role_arr == p
+            valid, safe = _last_prior(mask)
             for m in metrics:
                 for fam, col in (
                     ("last", m), ("form", f"_iform_{m}"),
                     ("avg", f"_iavg_{m}"), ("ewma", f"_iewma_{m}"),
                 ):
                     arr = lf[col].to_numpy().astype(np.float64)
-                    phase_cols[f"{fam}_{m}_{p}"] = np.where(
-                        valid, arr[safe], np.nan
-                    )
+                    if np.isnan(arr[mask]).any():
+                        # NULL-value semantics: propagation skips a NULL
+                        # aggregate at a phase row (SQL LAST_VALUE(CASE..)
+                        # IGNORE NULLS == the pandas kernel's ffill) —
+                        # slow path only when this column actually has
+                        # NULLs at phase rows
+                        v2, s2 = _last_prior(mask & ~np.isnan(arr))
+                        phase_cols[f"{fam}_{m}_{p}"] = np.where(
+                            v2, arr[s2], np.nan
+                        )
+                    else:
+                        phase_cols[f"{fam}_{m}_{p}"] = np.where(
+                            valid, arr[safe], np.nan
+                        )
         lf = lf.hstack(pl.DataFrame(phase_cols)).drop(
             [f"_{fam}_{m}" for m in metrics for fam in ("iavg", "iform", "iewma")]
         )
 
-    drop = [f"_{p}_{m}" for m in metrics for p in ("c", "cs", "cnt", "seed", "prevfinal")]
+    drop = [f"_{p}_{m}" for m in metrics
+            for p in ("c", "c0", "nn", "cs", "cnt", "seed", "prevfinal")]
     return lf.drop(drop)
 
 

@@ -283,12 +283,12 @@ NULL_VALUE_QUERIES = [
     "w_sliding_window", "w_asof_checkpoint",
     "winsorize_day", "minmax_day", "w_rolling_grid7",
     "agg_gap_profile", "w_forward_sum_30m",
+    # round 5: the flagship expanding/EWMA/session window kernels now skip
+    # NULLs like SQL AVG/SUM (pandas + polars + streaming paths, see
+    # PARITY.md "Round-5 NULL-value window semantics")
+    "w_ewma", "w_expanding", "w_session_avg", "w_phase_windows",
+    "wide_slice", "w_rolling_streaming", "w_incremental_append",
 ]
-# NOT in the NULL gate (documented value-non-null contract, PARITY.md):
-# w_session_avg / w_phase_windows / wide_slice / w_rolling_streaming /
-# w_incremental_append ride the flagship expanding/EWMA cumsum kernels,
-# whose NULL semantics (pandas ewm/cumsum NaN handling) differ from SQL
-# AVG-skip; the driver corpora carry no NULL values.
 
 
 @pytest.fixture(scope="module")

@@ -114,6 +114,35 @@ def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     return df[["query_id", "rank", "neighbor_id", "cos_sim"]]
 
 
+import os  # noqa: E402
+
+ANN_DRIVER_MAX_BLOCKS = int(os.environ.get("ANN_DRIVER_MAX_BLOCKS", "64"))
+
+
+def _final_topk_ds(partials: ray.data.Dataset, k: int) -> pd.DataFrame:
+    """Bounded final reduce for the ANN partial-top-k tables (r04 verdict
+    #7): each map task emits <= nq*k candidate rows, so the raw partial
+    table grows O(blocks * Q * K) — fine to collect at test scale, but
+    unbounded with block count. Above ``ANN_DRIVER_MAX_BLOCKS`` blocks,
+    ONE query-keyed shuffle folds each query's partials to k rows first,
+    making the driver table exactly nq*k rows at ANY corpus size. Both
+    paths are bit-identical (same sort keys + tie rule); the fold keeps
+    strictly more candidates per query than the final head(k) needs."""
+    mat = partials.materialize()
+    if mat.num_blocks() <= ANN_DRIVER_MAX_BLOCKS:
+        return _final_topk(mat.to_pandas(), k)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "cos_sim", "neighbor_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return g.head(k)
+
+    folded = mat.groupby("query_id").map_groups(fold, batch_format="pandas")
+    return _final_topk(folded.to_pandas(), k)
+
+
 def q_ann_cosine_topk(sf_dir: str):
     qids, qm = _load_queries(sf_dir)
     qids_ref, qmat_ref = ray.put(qids), ray.put(qm)
@@ -129,7 +158,7 @@ def q_ann_cosine_topk(sf_dir: str):
         fn_constructor_args=(qids_ref, qmat_ref, TOP_K),
     )
     # partials: <= nq * k rows per batch — tiny final reduce on the driver
-    return _final_topk(partials.to_pandas(), TOP_K)
+    return _final_topk_ds(partials, TOP_K)
 
 
 # Zero-norm contract: cosine with a zero vector is UNDEFINED; the engine
@@ -213,7 +242,7 @@ def q_ann_ivf(sf_dir: str):
         sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
     )
     partials = emb.map_batches(IvfTopK, batch_format="pandas", concurrency=(1, 4))
-    return _final_topk(partials.to_pandas(), TOP_K)
+    return _final_topk_ds(partials, TOP_K)
 
 
 QUERIES = {
@@ -387,7 +416,7 @@ def q_ann_lsh(sf_dir: str):
         sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
     )
     partials = emb.map_batches(LshTopK, batch_format="pandas", concurrency=(1, 4))
-    return _final_topk(partials.to_pandas(), TOP_K)
+    return _final_topk_ds(partials, TOP_K)
 
 
 QUERIES["ann_lsh"] = q_ann_lsh  # rows-only (approximate; recall test)
@@ -560,7 +589,7 @@ def q_ann_pq(sf_dir: str) -> pd.DataFrame:
     partials = emb.map_batches(
         _PQScore, batch_format="pandas", concurrency=(1, 4)
     )
-    return _final_topk(partials.to_pandas(), TOP_K)
+    return _final_topk_ds(partials, TOP_K)
 
 
 QUERIES["ann_pq"] = q_ann_pq  # rows-only (approximate; recall test)
@@ -661,7 +690,7 @@ def q_ann_lsh_self_match(sf_dir: str):
         sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
     )
     partials = emb.map_batches(LshSelfTopK, batch_format="pandas", concurrency=(1, 4))
-    return _final_topk(partials.to_pandas(), 1)
+    return _final_topk_ds(partials, 1)
 
 
 SQL_ANN_LSH_SELF_MATCH = f"""

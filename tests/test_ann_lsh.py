@@ -96,3 +96,40 @@ def test_ann_pq_planted_duplicate_and_recall(ray_session, tmp_path):
                     & set(got[got.query_id == q]["neighbor_id"]))
     recall = hits / len(ex)
     assert recall >= 0.2, f"PQ recall@{TOP_K} collapsed: {recall}"
+
+
+def test_final_topk_shuffle_fold_matches_driver_merge(ray_session):
+    """The >ANN_DRIVER_MAX_BLOCKS keyed-shuffle fold must be bit-identical
+    to the small-scale driver merge (r04 verdict #7: no driver table that
+    grows with block count on any ANN path)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from nfl_feature_store_ray.pipelines import similarity as sim
+
+    rng = np.random.default_rng(42)
+    parts = []
+    for _ in range(24):  # 24 blocks of per-block partial top-k rows
+        nrow = int(rng.integers(5, 30))
+        parts.append(pd.DataFrame({
+            "query_id": rng.integers(0, 6, nrow).astype("int64"),
+            "neighbor_id": rng.integers(0, 500, nrow).astype("int64"),
+            "cos_sim": np.round(rng.random(nrow), 6),
+        }))
+    ds = ray.data.from_pandas(parts)
+    want = sim._final_topk(pd.concat(parts, ignore_index=True), 5)
+
+    old = sim.ANN_DRIVER_MAX_BLOCKS
+    try:
+        sim.ANN_DRIVER_MAX_BLOCKS = 4  # force the shuffle-fold path
+        got_fold = sim._final_topk_ds(ds, 5)
+        sim.ANN_DRIVER_MAX_BLOCKS = 10_000  # force the driver path
+        got_driver = sim._final_topk_ds(ray.data.from_pandas(parts), 5)
+    finally:
+        sim.ANN_DRIVER_MAX_BLOCKS = old
+
+    for got in (got_fold, got_driver):
+        g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w)

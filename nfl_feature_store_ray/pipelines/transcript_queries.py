@@ -4399,3 +4399,90 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY ts
 
 QUERIES["w_forward_sum_30m"] = q_forward_sum_30m
 ORACLES["w_forward_sum_30m"] = SQL_FORWARD_SUM_30M
+
+
+def q_chained_subrange(sf_dir: str):
+    """Window features via the sub-range CHAINED engine (state.skew):
+    conversations over ``min_rows`` rows are split into ordered 32-row
+    sub-ranges, each a bounded Ray task handing the streaming engine's
+    carry state to the next — the execution shape for a conversation
+    larger than one worker's heap, exercised here at sandbox scale so the
+    driver oracle-gates the handoff itself. Output restricts to the
+    CENTS-EXACT families (last/avg/session_avg + session ids), which the
+    chain computes bit-identically to the batch kernel at any split.
+
+    Reference parity: the same W1/W3-family semantics as w_lag_gap /
+    w_expanding / w_session_avg (SURVEY §2.6), under skew-salted
+    execution (§2.3 stateful stages)."""
+    from nfl_feature_store_ray.state.skew import window_features_chained
+
+    ts = transcripts_from_events(sf_dir)
+    pruned = _prune(ts, ["conv_id", "ts", "role", "value", "_seq"])
+    feats = window_features_chained(
+        pruned, metrics=("value",), min_rows=64, sub_range_rows=32,
+        tie_col="_seq",
+    )
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return _round6(
+            df[["conv_id", "turn_idx", "session_id",
+                "last_value", "avg_value", "session_avg_value"]],
+            ["last_value", "avg_value", "session_avg_value"],
+        )
+
+    return feats.map_batches(sel, batch_format="pandas")
+
+
+# last/avg reuse SQL_LAG_GAP / SQL_EXPANDING forms; the session_avg CTE
+# chain is SQL_SESSION_AVG's, verbatim — the chained engine must agree
+# with the SAME oracle the one-task batch path is gated by.
+SQL_CHAINED_SUBRANGE = f"""{_T},
+b AS (
+  SELECT conv_id, turn_idx, value, ROUND(value * 100) AS vc, ts, _seq,
+         CASE WHEN epoch(ts - LAG(ts) OVER ({_W})) > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM t
+),
+s AS (SELECT *, SUM(brk) OVER ({_W}) AS sid FROM b),
+w AS (
+  SELECT *,
+         LAG(value) OVER ({_W}) AS lastv,
+         SUM(vc) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS acs,
+         COUNT(vc) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS acnt,
+         SUM(vc) OVER (PARTITION BY conv_id, sid ORDER BY ts, _seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cs,
+         COUNT(vc) OVER (PARTITION BY conv_id, sid ORDER BY ts, _seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cnt
+  FROM s
+),
+agg AS (
+  SELECT conv_id, sid, COALESCE(SUM(vc), 0) AS total, COUNT(vc) AS n,
+         LAST(vc ORDER BY ts, _seq) FILTER (vc IS NOT NULL) AS lastnn
+  FROM s GROUP BY conv_id, sid
+),
+agg2 AS (
+  SELECT conv_id, sid,
+         LAG(lastnn) OVER (PARTITION BY conv_id ORDER BY sid) AS seed,
+         CASE WHEN sid = 0 THEN CASE WHEN n > 0 THEN total / (100.0 * n) END
+              ELSE (LAG(lastnn) OVER (PARTITION BY conv_id ORDER BY sid) + total)
+                   / (100.0 * (1 + n))
+         END AS final_exp
+  FROM agg
+),
+agg3 AS (
+  SELECT conv_id, sid, seed,
+         LAG(final_exp) OVER (PARTITION BY conv_id ORDER BY sid) AS prev_final
+  FROM agg2
+)
+SELECT w.conv_id, w.turn_idx, CAST(w.sid AS INTEGER) AS session_id,
+       ROUND(w.lastv, 6) AS last_value,
+       ROUND(CASE WHEN w.acnt > 0 THEN w.acs / (100.0 * w.acnt) END, 6) AS avg_value,
+       ROUND(CASE WHEN w.sid = 0
+                  THEN CASE WHEN w.cnt > 0 THEN w.cs / (100.0 * w.cnt) END
+                  ELSE CASE WHEN w.cnt > 0 THEN (a3.seed + w.cs) / (100.0 * (1 + w.cnt))
+                            ELSE a3.prev_final END
+             END, 6) AS session_avg_value
+FROM w JOIN agg3 a3 ON w.conv_id = a3.conv_id AND w.sid = a3.sid
+"""
+
+QUERIES["w_chained_subrange"] = q_chained_subrange
+ORACLES["w_chained_subrange"] = SQL_CHAINED_SUBRANGE

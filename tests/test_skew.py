@@ -57,3 +57,125 @@ def test_detect_and_salt_heavy_conversation():
             )
         else:
             assert (base[c].astype(str) == salted[c].astype(str)).all(), c
+
+
+# ---------------------------------------------------------------------------
+# Round 5: sub-range chaining for conversations larger than one worker heap
+# ---------------------------------------------------------------------------
+CHAIN_EXACT = [
+    "conv_id", "ts", "turn_idx", "session_id", "session_turn_idx",
+    "n_prior_user", "n_prior_assistant", "n_prior_tool",
+    "turns_since_tool", "roll10_tool_rate",
+    "last_value", "avg_value", "session_avg_value",
+]
+CHAIN_ALLCLOSE = ["gap_s", "secs_since_tool", "form_value", "ewma_value"]
+
+
+def _assert_cols(a: pd.DataFrame, b: pd.DataFrame, exact, allclose):
+    for c in exact:
+        if a[c].dtype.kind in "fc":
+            np.testing.assert_array_equal(
+                a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+        else:
+            assert a[c].dtype == b[c].dtype, (c, a[c].dtype, b[c].dtype)
+            assert (a[c].astype(str) == b[c].astype(str)).all(), c
+    for c in allclose:
+        np.testing.assert_allclose(
+            a[c].astype(float), b[c].astype(float),
+            rtol=1e-9, atol=0, equal_nan=True, err_msg=c)
+
+
+def test_chained_subrange_matches_batch_and_streaming():
+    """A hot conversation split into 64-row sub-range tasks with state
+    handoff must (a) match the one-task batch kernel per the streaming
+    precision contract — BIT-identical on the cents-exact families,
+    rtol 1e-9 on float-order families — and (b) be fully BITWISE equal
+    to a single in-process streaming actor fed the same splits, proving
+    the cross-task handoff itself is lossless."""
+    from nfl_feature_store_ray.state.skew import (
+        _stream_cols, window_features_chained)
+    from nfl_feature_store_ray.state.streaming import StreamingWindowActor
+
+    tbl = generate_transcripts(n_convs=40, mean_turns=12, seed=13)
+    heavy = detect_heavy_keys(rd.from_arrow(tbl), key="conv_id", min_rows=200)
+    assert heavy, "generator must plant a hot conversation"
+    R = 64
+
+    chained = (
+        window_features_chained(
+            rd.from_arrow(tbl), metrics=METRICS, heavy_keys=heavy,
+            sub_range_rows=R, tie_col="turn_idx", num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # the planted hot conversation genuinely chained over multiple tasks
+    n_hot = int((chained.conv_id == "conv_00001").sum())
+    assert n_hot > 2 * R
+
+    base = (
+        window_features(rd.from_arrow(tbl), metrics=METRICS, num_buckets=8,
+                        assign_turn_idx=True)
+        .to_pandas()[_stream_cols(METRICS, ())]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(chained) == len(base) == tbl.num_rows
+    _assert_cols(chained, base, CHAIN_EXACT, CHAIN_ALLCLOSE)
+
+    # (b) bitwise vs ONE actor fed identical sub-range splits in order
+    hdf = tbl.to_pandas()
+    hdf = (
+        hdf[hdf.conv_id.isin(heavy)]
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    actor = StreamingWindowActor(metrics=METRICS)
+    outs = []
+    for _, g in hdf.groupby("conv_id", sort=True):
+        g = g.reset_index(drop=True)
+        for a in range(0, len(g), R):
+            outs.append(actor(g.iloc[a:a + R]))
+    one = (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ch_h = (
+        chained[chained.conv_id.isin(heavy)]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(one) == len(ch_h)
+    _assert_cols(ch_h, one, list(one.columns), [])
+
+
+def test_chained_state_handoff_is_lossless_across_pickle():
+    """The carry state must survive serialization between chain tasks:
+    actor A consumes batches 1..k; its pickled+restored state must drive
+    batch k+1 bitwise-identically to the uninterrupted actor — including
+    the EWMA register, session seeds, and the NULL-tail cases."""
+    import pickle
+
+    from nfl_feature_store_ray.state.streaming import StreamingWindowActor
+
+    tbl = generate_transcripts(n_convs=6, mean_turns=40, seed=99)
+    df = (
+        tbl.to_pandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # plant NULL values near a split boundary to cross NULL-skip state
+    df.loc[df.index[:120:7], "value"] = np.nan
+
+    a_full = StreamingWindowActor(metrics=METRICS)
+    a_head = StreamingWindowActor(metrics=METRICS)
+    cut = len(df) // 2
+    outs_full = [a_full(df.iloc[:cut]), a_full(df.iloc[cut:])]
+    out_head = a_head(df.iloc[:cut])
+    a_tail = StreamingWindowActor(metrics=METRICS)
+    a_tail.state = pickle.loads(pickle.dumps(a_head.state))
+    out_tail = a_tail(df.iloc[cut:])
+    full = pd.concat(outs_full, ignore_index=True)
+    split = pd.concat([out_head, out_tail], ignore_index=True)
+    _assert_cols(split, full, list(full.columns), [])

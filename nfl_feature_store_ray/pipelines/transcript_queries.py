@@ -4403,7 +4403,7 @@ ORACLES["w_forward_sum_30m"] = SQL_FORWARD_SUM_30M
 
 def q_chained_subrange(sf_dir: str):
     """Window features via the sub-range CHAINED engine (state.skew):
-    conversations over ``min_rows`` rows are split into ordered 32-row
+    conversations over 40 rows are split into ordered 32-row
     sub-ranges, each a bounded Ray task handing the streaming engine's
     carry state to the next — the execution shape for a conversation
     larger than one worker's heap, exercised here at sandbox scale so the
@@ -4419,7 +4419,7 @@ def q_chained_subrange(sf_dir: str):
     ts = transcripts_from_events(sf_dir)
     pruned = _prune(ts, ["conv_id", "ts", "role", "value", "_seq"])
     feats = window_features_chained(
-        pruned, metrics=("value",), min_rows=64, sub_range_rows=32,
+        pruned, metrics=("value",), min_rows=40, sub_range_rows=32,
         tie_col="_seq",
     )
 

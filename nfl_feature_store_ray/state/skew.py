@@ -60,12 +60,12 @@ def detect_heavy_keys(
         return g[g["n"] >= min_rows]
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    heavy = (
-        map_conv_buckets(partials, final, key=key, sort_cols=[key], num_buckets=16)
-        .to_pandas()
-        .sort_values("n", ascending=False)
-        .head(top)
-    )
+    heavy = map_conv_buckets(
+        partials, final, key=key, sort_cols=[key], num_buckets=16
+    ).to_pandas()
+    if heavy.empty:  # no heavy keys: empty blocks may drop the schema
+        return {}
+    heavy = heavy.sort_values("n", ascending=False).head(top)
     return {k: i for i, k in enumerate(heavy[key])}
 
 

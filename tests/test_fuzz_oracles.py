@@ -125,7 +125,7 @@ EVENT_QUERIES = [
     "topk_ties_day", "max_concurrency", "json_props", "w_late_events",
     "w_groups_frame", "target_encode", "w_time_decay_dyadic",
     "winsorize_day", "minmax_day", "w_rolling_grid7",
-    "agg_gap_profile", "w_forward_sum_30m",
+    "agg_gap_profile", "w_forward_sum_30m", "w_chained_subrange",
 ]
 
 
@@ -288,6 +288,9 @@ NULL_VALUE_QUERIES = [
     # PARITY.md "Round-5 NULL-value window semantics")
     "w_ewma", "w_expanding", "w_session_avg", "w_phase_windows",
     "wide_slice", "w_rolling_streaming", "w_incremental_append",
+    # round 5: the sub-range chained engine shares those kernels' NULL
+    # semantics (streaming registers skip NULLs identically)
+    "w_chained_subrange",
 ]
 
 

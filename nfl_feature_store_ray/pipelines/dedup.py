@@ -413,7 +413,10 @@ def q_dedup_simhash(sf_dir: str):
     docs = read_table(
         sf_dir, "documents", columns=["doc_id", "text"], override_num_blocks=DOC_BLOCKS
     )
+    return _simhash_pairs(docs)
 
+
+def _simhash_pairs(docs):
     def sim(df: pd.DataFrame) -> pd.DataFrame:
         # tokens split in polars (tf.token_flat), hashed in one C pass
         counts, flat = tf.token_flat(df["text"].to_numpy())
@@ -1325,3 +1328,94 @@ SQL_PAGERANK = _pagerank_sql()
 
 QUERIES["pagerank"] = q_pagerank
 ORACLES["pagerank"] = SQL_PAGERANK
+
+
+# ---------------------------------------------------------------------------
+# planted-twin contracts for the approximate dedup family (round 5)
+# ---------------------------------------------------------------------------
+# Each approximate operator above is rows-only checkable in general, but
+# carries one DETERMINISTIC guarantee a DuckDB oracle can state exactly:
+# an identical copy of a document hashes identically, so MinHash-LSH MUST
+# band-collide its twin and verify Jaccard 1.0, and SimHash MUST produce
+# hamming 0 discoverable through at least one pigeonhole segment. The
+# queries plant a full twin copy of the corpus in-query (doc_id +
+# DOC_TWIN, same pattern as similarity.py's _twin_union), run the REAL
+# pipeline over the doubled corpus, and emit only the planted pairs —
+# non-vacuous at every corpus, including ones with no natural duplicates.
+# Cap caveat (documented): a twin pair could only be lost if EVERY one of
+# its blocking buckets exceeded MAX_BUCKET; measured on the twinned
+# shipped corpora the worst case is max band bucket 8 (MinHash, sf0.1)
+# and 0 docs with all 4 SimHash segments capped — the oracle gate runs
+# where the cap never bites, and the cap itself stays log-surfaced.
+DOC_TWIN = 1_000_000_000
+
+
+def _twin_docs(sf_dir: str):
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], override_num_blocks=DOC_BLOCKS
+    )
+    twin = docs.map_batches(
+        lambda df: df.assign(doc_id=df["doc_id"] + DOC_TWIN),
+        batch_format="pandas")
+    return docs.union(twin)
+
+
+def q_minhash_twin_pairs(sf_dir: str):
+    """Every document with >= 1 shingle (>= 3 tokens) must be paired with
+    its planted twin at exact Jaccard 1.0 by the REAL MinHash-LSH
+    pipeline (same stages, own committed scratch dir)."""
+    from nfl_feature_store_ray.state.manifest import partitioned_commit
+
+    lists_dir = _lists_dir_for(sf_dir) + "-twin"
+    lists = _twin_docs(sf_dir).map_batches(_lists_and_bands, batch_format="pandas")
+    banded = partitioned_commit(
+        lists, lists_dir, key="doc_id", num_buckets=LIST_BUCKETS,
+        transform=lambda g: g.sort_values("doc_id"), emit=_band_rows,
+    )
+    cand = map_conv_buckets(
+        banded, _lsh_candidates, key="bk", sort_cols=["bk", "doc_id"], num_buckets=8
+    )
+    pairs = _verify_pairs_distributed(lists_dir, cand, JACCARD_T)
+
+    def twins_only(df: pd.DataFrame) -> pd.DataFrame:
+        # (a, a + DOC_TWIN) identifies the planted pair exactly: original
+        # ids are < DOC_TWIN, so no cross-document pair has that offset
+        m = df[(df["doc_id_b"] - df["doc_id_a"]) == DOC_TWIN]
+        return pd.DataFrame({"doc_id": m["doc_id_a"].astype("int64"),
+                             "jaccard": m["jaccard"].astype("float64")})
+
+    return pairs.map_batches(twins_only, batch_format="pandas")
+
+
+# shingles are 3-grams over lowercase single-space tokens (tf.shingle_flat;
+# '' splits to [''] like Python), so eligibility is len(split) >= 3
+SQL_MINHASH_TWIN = """
+SELECT doc_id, 1.0 AS jaccard FROM documents
+WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) >= 3
+"""
+
+QUERIES["minhash_twin_pairs"] = q_minhash_twin_pairs
+ORACLES["minhash_twin_pairs"] = SQL_MINHASH_TWIN
+
+
+def q_simhash_twin_pairs(sf_dir: str):
+    """Every document's planted twin must be rediscovered by the REAL
+    SimHash pipeline at hamming 0 (identical tokens -> identical 64-bit
+    signature -> all pigeonhole segments collide). No eligibility filter:
+    null and empty texts hash identically too."""
+    pairs = _simhash_pairs(_twin_docs(sf_dir))
+
+    def twins_only(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[(df["doc_id_b"] - df["doc_id_a"]) == DOC_TWIN]
+        return pd.DataFrame({"doc_id": m["doc_id_a"].astype("int64"),
+                             "hamming": m["hamming"].astype("int64")})
+
+    return pairs.map_batches(twins_only, batch_format="pandas")
+
+
+SQL_SIMHASH_TWIN = """
+SELECT doc_id, CAST(0 AS BIGINT) AS hamming FROM documents
+"""
+
+QUERIES["simhash_twin_pairs"] = q_simhash_twin_pairs
+ORACLES["simhash_twin_pairs"] = SQL_SIMHASH_TWIN

@@ -4486,3 +4486,69 @@ FROM w JOIN agg3 a3 ON w.conv_id = a3.conv_id AND w.sid = a3.sid
 
 QUERIES["w_chained_subrange"] = q_chained_subrange
 ORACLES["w_chained_subrange"] = SQL_CHAINED_SUBRANGE
+
+
+def q_sketch_dd_bounds(sf_dir: str):
+    """DDSketch accuracy contract, SQL-gated (round 5, the quantile-family
+    sibling of sketch_cms_bounds): for each probe quantile over the
+    POSITIVE values, the sketch estimate must sit within the
+    (1 +/- DD_ALPHA) relative band of the TRUE rank-ceil(q*n) quantile —
+    Masson et al.'s guarantee stated as booleans a DuckDB oracle can
+    emit. The true quantile is computed DISTRIBUTED and exactly via the
+    same cents-histogram pattern as quantile_tokens (values are 2-decimal
+    by contract), so the check adds one driver-merged partial, no sort."""
+    ts = transcripts_from_events(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        vp = v[v > 0]  # sketch bound is defined on positive values
+        dd = dd_partials(vp)
+        dd["kind"] = np.int8(0)
+        cents = np.rint(vp * 100.0).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        hist = pd.DataFrame({"bucket": u, "cnt": c.astype(np.int64),
+                             "kind": np.int8(1)})
+        return pd.concat([dd, hist], ignore_index=True)
+
+    parts = ts.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby(["kind", "bucket"], as_index=False)["cnt"].sum()
+    dd_m = merged[merged["kind"] == 0]
+    est = dd_quantiles_from_buckets(
+        dd_m["bucket"].to_numpy(np.int64), dd_m["cnt"].to_numpy(np.int64),
+        DD_QUANTILES,
+    )
+    h = merged[merged["kind"] == 1].sort_values("bucket")
+    cum = h["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for (q, e) in zip(est["q"], est["est"]):
+        rank = max(1, int(np.ceil(q * n))) if n else 0
+        true = (
+            float(h["bucket"].to_numpy()[int(np.searchsorted(cum, rank))] / 100.0)
+            if n else np.nan
+        )
+        # edge values can land in the adjacent bucket after float log;
+        # the bound there holds with equality — allow 1e-9 relative fuzz
+        rows.append({
+            "q": float(q),
+            "true_q": round_half_away(np.float64(true), 6),
+            "n_pos": n,
+            "ge_lo": bool(e >= true * (1.0 - DD_ALPHA) * (1.0 - 1e-9)),
+            "le_hi": bool(e <= true * (1.0 + DD_ALPHA) * (1.0 + 1e-9)),
+        })
+    return pd.DataFrame(rows)
+
+
+def _dd_bounds_sql() -> str:
+    probes = "\nUNION ALL\n".join(
+        f"SELECT {q} AS q, ROUND(quantile_disc(value, {q}), 6) AS true_q, "
+        f"COUNT(*) AS n_pos, TRUE AS ge_lo, TRUE AS le_hi FROM v"
+        for q in DD_QUANTILES
+    )
+    return f"{_T},\nv AS (SELECT value FROM t WHERE value > 0)\n{probes}"
+
+
+SQL_SKETCH_DD_BOUNDS = _dd_bounds_sql()
+
+QUERIES["sketch_dd_bounds"] = q_sketch_dd_bounds
+ORACLES["sketch_dd_bounds"] = SQL_SKETCH_DD_BOUNDS

@@ -28,6 +28,8 @@ DOC_QUERIES = [
     "vocab_overlap", "top_bigrams", "pagerank", "posting_lists", "typo_stats",
     "doc_offsets", "source_overlap", "sample_temperature", "dup_spans",
     "sketch_cms_bounds", "sketch_mg_heavy",
+    # round 5: planted-twin contracts for the approximate dedup family
+    "minhash_twin_pairs", "simhash_twin_pairs", "fingerprint_twins",
 ]
 
 
@@ -126,6 +128,7 @@ EVENT_QUERIES = [
     "w_groups_frame", "target_encode", "w_time_decay_dyadic",
     "winsorize_day", "minmax_day", "w_rolling_grid7",
     "agg_gap_profile", "w_forward_sum_30m", "w_chained_subrange",
+    "sketch_dd_bounds",
 ]
 
 
@@ -289,8 +292,9 @@ NULL_VALUE_QUERIES = [
     "w_ewma", "w_expanding", "w_session_avg", "w_phase_windows",
     "wide_slice", "w_rolling_streaming", "w_incremental_append",
     # round 5: the sub-range chained engine shares those kernels' NULL
-    # semantics (streaming registers skip NULLs identically)
-    "w_chained_subrange",
+    # semantics (streaming registers skip NULLs identically); the DD
+    # bound query's value > 0 filter drops NULLs like the SQL WHERE
+    "w_chained_subrange", "sketch_dd_bounds",
 ]
 
 

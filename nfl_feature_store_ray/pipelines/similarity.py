@@ -800,3 +800,63 @@ FROM embeddings
 
 QUERIES["pq_twin_codes"] = q_pq_twin_codes
 ORACLES["pq_twin_codes"] = SQL_PQ_TWIN
+
+
+def q_ann_ivf_self_match(sf_dir: str):
+    """IVF planted-invariant sibling (round 5, completes the ANN ladder's
+    SQL gates): a query vector's OWN cell is by definition its nearest
+    coarse centroid — the first probe — so without self-exclusion the IVF
+    search must return the query itself at rank 1 with cos_sim exactly
+    1.0. Same oracle contract as ann_lsh_self_match."""
+    qids, qm = _nonzero_queries(sf_dir)
+    cent = coarse_centroids(sf_dir)
+    qn = _norm_rows(qm)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :NPROBE]
+    probe_sets = [set(map(int, row)) for row in probe]
+    cent_ref, qids_ref, qmat_ref, probe_ref = (
+        ray.put(cent), ray.put(qids), ray.put(qm), ray.put(probe_sets),
+    )
+
+    class IvfSelfTop1:
+        def __init__(self):
+            from nfl_feature_store_ray.functions.broadcast import cached_object_get
+            self.cent = cached_object_get(cent_ref)
+            self.qids = cached_object_get(qids_ref)
+            self.qm = _norm_rows(cached_object_get(qmat_ref))
+            self.probe = cached_object_get(probe_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "neighbor_id": pd.Series([], dtype=np.int64),
+                 "cos_sim": pd.Series([], dtype=np.float64)})
+            if not len(df):
+                return empty
+            vecs = _norm_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+            vids = df["vec_id"].to_numpy(dtype=np.int64)
+            cells = (vecs @ self.cent.T).argmax(axis=1)
+            sims = round_half_away(vecs @ self.qm.T, 6)
+            outs = []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cells, list(self.probe[qi]))
+                if not mask.any():
+                    continue
+                col = sims[:, qi]
+                order = np.lexsort((vids[mask], -col[mask]))[:1]
+                sel = np.flatnonzero(mask)[order]
+                outs.append(pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": vids[sel],
+                     "cos_sim": col[sel]}))
+            return pd.concat(outs, ignore_index=True) if outs else empty
+
+    emb = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], override_num_blocks=8
+    )
+    partials = emb.map_batches(IvfSelfTop1, batch_format="pandas", concurrency=(1, 4))
+    return _final_topk_ds(partials, 1)
+
+
+SQL_ANN_IVF_SELF_MATCH = SQL_ANN_LSH_SELF_MATCH
+
+QUERIES["ann_ivf_self_match"] = q_ann_ivf_self_match
+ORACLES["ann_ivf_self_match"] = SQL_ANN_IVF_SELF_MATCH

@@ -224,7 +224,7 @@ def emb_fuzz_dir():
 
 @pytest.mark.parametrize("name", ["ann_cosine_topk", "dedup_embedding", "centroid_label",
                                   "ann_lsh_self_match", "kmeans_twin_consistency",
-                                  "pq_twin_codes"])
+                                  "pq_twin_codes", "ann_ivf_self_match"])
 def test_emb_fuzz_query_matches_oracle(name, emb_fuzz_dir):
     import __ray_entry__ as e
 

@@ -151,6 +151,7 @@ def window_features_chained(
     sub_range_rows: int = 1_000_000,
     phases: tuple[str, ...] = (),
     tie_col: str | None = None,
+    top: int = 64,
 ) -> ray.data.Dataset:
     """Window features where HOT conversations chain through bounded
     sub-range tasks instead of one whole-conversation bucket task.
@@ -174,7 +175,8 @@ def window_features_chained(
     streaming layout guarantees at ingest.
     """
     if heavy_keys is None:
-        heavy_keys = detect_heavy_keys(ds, key="conv_id", min_rows=min_rows)
+        heavy_keys = detect_heavy_keys(ds, key="conv_id", min_rows=min_rows,
+                                       top=top)
 
     out_cols = _stream_cols(metrics, phases)
 
@@ -191,11 +193,20 @@ def window_features_chained(
             )
         return tbl
 
-    def _select(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[out_cols].reset_index(drop=True)
-        # pandas spine on both branches -> identical Arrow schema at union
-        out["conv_id"] = out["conv_id"].astype(object)
-        return out
+    def _select(tbl):
+        """Zero-copy Arrow projection + one string-repr normalization so
+        BOTH branches reach the union with an identical schema (the
+        polars batch spine emits large_string conv_ids, the chain's
+        pandas frames plain string)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = tbl.select(out_cols)
+        i = t.schema.get_field_index("conv_id")
+        if t.schema.field(i).type != pa.large_string():
+            t = t.set_column(
+                i, "conv_id", pc.cast(t.column("conv_id"), pa.large_string()))
+        return t
 
     if not heavy_keys:
         feats = window_features(
@@ -203,7 +214,8 @@ def window_features_chained(
             num_buckets=num_buckets, assign_turn_idx=True, phases=phases,
             derive=False, pre_kernel=_light_derive,
         )
-        return feats.map_batches(_select, batch_format="pandas")
+        return feats.map_batches(_select, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
     heavy = set(heavy_keys)
     keep = ["conv_id", "ts", "role", *metrics] + ([tie_col] if tie_col else [])
@@ -220,7 +232,7 @@ def window_features_chained(
         metrics=metrics, session_gap_s=session_gap_s,
         num_buckets=num_buckets, assign_turn_idx=True, phases=phases,
         derive=False, pre_kernel=_light_derive,
-    ).map_batches(_select, batch_format="pandas")
+    ).map_batches(_select, batch_format="pyarrow", zero_copy_batch=True)
 
     # --- heavy path: prune -> distributed sort -> ordered block refs ----
     sort_keys = ["conv_id", "ts"] + ([tie_col] if tie_col else [])
@@ -277,6 +289,6 @@ def window_features_chained(
             out_refs.append(out_ref)
 
     heavy_feats = ray.data.from_pandas_refs(out_refs).map_batches(
-        _select, batch_format="pandas"
+        _select, batch_format="pyarrow", zero_copy_batch=True
     )
     return normal_feats.union(heavy_feats)

@@ -201,6 +201,16 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("time_decay_dyadic",
           lambda: transcript_queries.q_time_decay_dyadic(sf_dir))
 
+    # round-5 additions: sub-range chained window engine (heavy
+    # conversations through bounded state-handoff tasks) and the
+    # twin-planted MinHash contract (runs the full LSH pipeline over a
+    # doubled corpus — the heaviest of the new planted gates)
+    from nfl_feature_store_ray.pipelines.dedup import q_minhash_twin_pairs
+
+    timed("w_chained_subrange",
+          lambda: transcript_queries.q_chained_subrange(sf_dir))
+    timed("minhash_twin_pairs", lambda: q_minhash_twin_pairs(sf_dir))
+
     result = {
         "metric": "flagship window-feature materialization wall time",
         "value": headline,

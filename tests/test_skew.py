@@ -3,6 +3,7 @@ change output, and the hot conversation must land in its own bucket."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from nfl_feature_store_ray.sources.transcripts import generate_transcripts
@@ -150,11 +151,13 @@ def test_chained_subrange_matches_batch_and_streaming():
     _assert_cols(ch_h, one, list(one.columns), [])
 
 
-def test_chained_state_handoff_is_lossless_across_pickle():
+@pytest.mark.parametrize("phases", [(), ("user", "assistant")])
+def test_chained_state_handoff_is_lossless_across_pickle(phases):
     """The carry state must survive serialization between chain tasks:
     actor A consumes batches 1..k; its pickled+restored state must drive
     batch k+1 bitwise-identically to the uninterrupted actor — including
-    the EWMA register, session seeds, and the NULL-tail cases."""
+    the EWMA register, session seeds, per-phase registers, and the
+    NULL-tail cases."""
     import pickle
 
     from nfl_feature_store_ray.state.streaming import StreamingWindowActor
@@ -168,12 +171,12 @@ def test_chained_state_handoff_is_lossless_across_pickle():
     # plant NULL values near a split boundary to cross NULL-skip state
     df.loc[df.index[:120:7], "value"] = np.nan
 
-    a_full = StreamingWindowActor(metrics=METRICS)
-    a_head = StreamingWindowActor(metrics=METRICS)
+    a_full = StreamingWindowActor(metrics=METRICS, phases=phases)
+    a_head = StreamingWindowActor(metrics=METRICS, phases=phases)
     cut = len(df) // 2
     outs_full = [a_full(df.iloc[:cut]), a_full(df.iloc[cut:])]
     out_head = a_head(df.iloc[:cut])
-    a_tail = StreamingWindowActor(metrics=METRICS)
+    a_tail = StreamingWindowActor(metrics=METRICS, phases=phases)
     a_tail.state = pickle.loads(pickle.dumps(a_head.state))
     out_tail = a_tail(df.iloc[cut:])
     full = pd.concat(outs_full, ignore_index=True)

@@ -169,6 +169,11 @@ def window_features_chained(
     are BIT-IDENTICAL to the batch kernel; form/ewma/gap match within
     rtol 1e-9 (float summation order).
 
+    ``metrics`` must be PHYSICAL columns of ``ds`` (the heavy branch
+    prunes to conv_id/ts/role/metrics/tie before its sort, so derived
+    metrics like text_len must be materialized by the caller first —
+    the same contract as the partitioned streaming layout).
+
     Partitioning assumption (documented per the custom-operator rule):
     the input's (conv_id, ts, tie) sort delivers each conversation's
     rows exactly once, in order — the same contract the partitioned

@@ -226,14 +226,24 @@ def window_features_chained(
     keep = ["conv_id", "ts", "role", *metrics] + ([tie_col] if tie_col else [])
 
     def _split(flag: bool):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            m = df["conv_id"].isin(heavy)
-            part = df[m if flag else ~m]
-            return part[keep] if flag else part
+        # Arrow-native filter: keeps the blocks Arrow end-to-end (the
+        # heavy branch's sort then shuffles Arrow, not pandas, blocks)
+        def f(tbl):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            m = pc.is_in(
+                tbl["conv_id"],
+                value_set=pa.array(sorted(heavy),
+                                   tbl.schema.field("conv_id").type))
+            if flag:
+                return tbl.filter(m).select(keep)
+            return tbl.filter(pc.invert(m))
         return f
 
     normal_feats = window_features(
-        ds.map_batches(_split(False), batch_format="pandas"),
+        ds.map_batches(_split(False), batch_format="pyarrow",
+                       zero_copy_batch=True),
         metrics=metrics, session_gap_s=session_gap_s,
         num_buckets=num_buckets, assign_turn_idx=True, phases=phases,
         derive=False, pre_kernel=_light_derive,
@@ -242,7 +252,8 @@ def window_features_chained(
     # --- heavy path: prune -> distributed sort -> ordered block refs ----
     sort_keys = ["conv_id", "ts"] + ([tie_col] if tie_col else [])
     mat = (
-        ds.map_batches(_split(True), batch_format="pandas")
+        ds.map_batches(_split(True), batch_format="pyarrow",
+                       zero_copy_batch=True)
         .sort(sort_keys)
         .materialize()
     )

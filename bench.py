@@ -209,7 +209,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     timed("w_chained_subrange",
           lambda: transcript_queries.q_chained_subrange(sf_dir))
-    timed("minhash_twin_pairs", lambda: q_minhash_twin_pairs(sf_dir))
+    # twin variant doubles the corpus -> fresh-worker warmup is 2x the
+    # dedup_minhash_lsh case; same immediate re-warm discipline
+    timed_warm("minhash_twin_pairs", lambda: q_minhash_twin_pairs(sf_dir))
 
     result = {
         "metric": "flagship window-feature materialization wall time",

@@ -4522,6 +4522,10 @@ def q_sketch_dd_bounds(sf_dir: str):
         return pd.concat([dd, hist], ignore_index=True)
 
     parts = ts.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:  # all-zero-row blocks drop the schema (no positives)
+        parts = pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                              "cnt": pd.Series([], dtype="int64"),
+                              "kind": pd.Series([], dtype="int8")})
     merged = parts.groupby(["kind", "bucket"], as_index=False)["cnt"].sum()
     dd_m = merged[merged["kind"] == 0]
     est = dd_quantiles_from_buckets(
@@ -4539,13 +4543,15 @@ def q_sketch_dd_bounds(sf_dir: str):
             if n else np.nan
         )
         # edge values can land in the adjacent bucket after float log;
-        # the bound there holds with equality — allow 1e-9 relative fuzz
+        # the bound there holds with equality — allow 1e-9 relative fuzz.
+        # A corpus with NO positive values bounds vacuously (the oracle's
+        # aggregate over the empty filtered set emits TRUE constants too)
         rows.append({
             "q": float(q),
             "true_q": round_half_away(np.float64(true), 6),
             "n_pos": n,
-            "ge_lo": bool(e >= true * (1.0 - DD_ALPHA) * (1.0 - 1e-9)),
-            "le_hi": bool(e <= true * (1.0 + DD_ALPHA) * (1.0 + 1e-9)),
+            "ge_lo": n == 0 or bool(e >= true * (1.0 - DD_ALPHA) * (1.0 - 1e-9)),
+            "le_hi": n == 0 or bool(e <= true * (1.0 + DD_ALPHA) * (1.0 + 1e-9)),
         })
     return pd.DataFrame(rows)
 

@@ -462,3 +462,33 @@ def test_ann_pq_tiny_corpus_trains_clamped_codebooks(tmp_path, ray_session):
     # so the duplicate pair must top each other's lists with cos_sim 1.0
     top0 = r[r["query_id"] == 0].iloc[0]
     assert top0["neighbor_id"] == 5 and abs(top0["cos_sim"] - 1.0) < 1e-9
+
+
+def test_sketch_dd_bounds_no_positive_values(tmp_path, ray_session):
+    """A corpus whose values are all NULL or <= 0 must bound vacuously
+    (TRUE flags, NULL true quantile) and match the oracle's aggregate
+    over the empty filtered set — not crash on the schema-less
+    zero-row partial frame."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    ev = pd.DataFrame(
+        {"event_id": range(6),
+         "ts": pd.date_range("2024-01-01", periods=6, freq="h").astype("datetime64[us]"),
+         "user_id": [1, 1, 2, 2, 3, 3],
+         "event_type": "click",
+         "value": [0.0, -1.0, None, 0.0, None, -2.5],
+         "props": "{}"}
+    )
+    d = tmp_path / "noposev"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet", index=False)
+    r = e.queries()["sketch_dd_bounds"](str(d))
+    r = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+    assert r["ge_lo"].all() and r["le_hi"].all()
+    assert (r["n_pos"] == 0).all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    s = con.execute(e.oracle_sql()["sketch_dd_bounds"]).df()
+    assert len(s) == len(r) and s["ge_lo"].all()

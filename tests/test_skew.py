@@ -182,3 +182,27 @@ def test_chained_state_handoff_is_lossless_across_pickle(phases):
     full = pd.concat(outs_full, ignore_index=True)
     split = pd.concat([out_head, out_tail], ignore_index=True)
     _assert_cols(split, full, list(full.columns), [])
+
+
+def test_chained_all_conversations_heavy():
+    """Every conversation heavy -> the normal branch contributes ZERO
+    rows to the union; the chain must still emit every row once."""
+    from nfl_feature_store_ray.state.skew import window_features_chained
+
+    frames = []
+    for c in range(3):
+        n = 50
+        frames.append(pd.DataFrame({
+            "conv_id": f"c{c}", "turn_idx": np.arange(n, dtype="int32"),
+            "role": "user", "text": "t", "tool": None,
+            "ts": pd.date_range("2024-01-01", periods=n,
+                                freq="s").astype("datetime64[us]"),
+            "value": np.round(np.random.default_rng(c).random(n) * 9, 2)}))
+    df = pd.concat(frames, ignore_index=True)
+    out = window_features_chained(
+        rd.from_pandas(df), metrics=("value",),
+        heavy_keys={"c0": 0, "c1": 1, "c2": 2},
+        sub_range_rows=16, tie_col="turn_idx",
+    ).to_pandas()
+    assert len(out) == 150 and out.conv_id.nunique() == 3
+    assert (out.groupby("conv_id")["turn_idx"].max() == 49).all()

@@ -292,9 +292,14 @@ class StreamingWindowActor:
             lpi = np.empty(n, dtype=np.int64)
             lpi[0] = -1
             lpi[1:] = lpi_incl[:-1]
-            pos = np.full(n, -1, dtype=np.int64)
-            pos[np.flatnonzero(pmask)] = np.arange(int(pmask.sum()))
-            phase_prop[ph] = (pmask, lpi, pos)
+            # NOTE: named ppos, NOT pos — `pos` above holds the GLOBAL
+            # row positions that the conv-level state commit reads for
+            # last_tool_pos; rebinding it here silently corrupted the
+            # tool-lag carry whenever phases were enabled (caught by the
+            # round-5 chained-subrange phase test at sub-range boundaries)
+            ppos = np.full(n, -1, dtype=np.int64)
+            ppos[np.flatnonzero(pmask)] = np.arange(int(pmask.sum()))
+            phase_prop[ph] = (pmask, lpi, ppos)
 
         # --- metric families
         for m in self.metric_names:
@@ -403,7 +408,7 @@ class StreamingWindowActor:
             # propagated to every later row via carry registers + an
             # in-batch last-phase-row gather (batch kernels' shift+ffill)
             for ph in self.phases:
-                pmask, lpi, pos = phase_prop[ph]
+                pmask, lpi, ppos = phase_prop[ph]
                 ps = ms.phase.setdefault(ph, _PhaseState())
                 idxs = np.flatnonzero(pmask)
                 k = len(idxs)
@@ -460,7 +465,7 @@ class StreamingWindowActor:
                 else:
                     xs = avg_i = form_i = ew_i = np.empty(0)
                 sel = lpi >= 0
-                pj = pos[np.maximum(lpi, 0)]
+                pj = ppos[np.maximum(lpi, 0)]
                 for fam, incl, prev in (
                     ("last", xs, ps.prev_last), ("form", form_i, ps.prev_form),
                     ("avg", avg_i, ps.prev_avg), ("ewma", ew_i, ps.prev_ewma),

@@ -206,3 +206,34 @@ def test_chained_all_conversations_heavy():
     ).to_pandas()
     assert len(out) == 150 and out.conv_id.nunique() == 3
     assert (out.groupby("conv_id")["turn_idx"].max() == 49).all()
+
+
+def test_chained_subrange_phase_families_match_batch():
+    """Per-role (phase) window families must survive the chain's
+    cross-task state handoff: cents-exact phase aggregates bitwise vs
+    the batch kernel, float-order phase families within rtol 1e-9."""
+    from nfl_feature_store_ray.state.skew import (
+        _stream_cols, window_features_chained)
+
+    PH = ("user", "assistant")
+    tbl = generate_transcripts(n_convs=40, mean_turns=12, seed=13)
+    heavy = detect_heavy_keys(rd.from_arrow(tbl), key="conv_id", min_rows=200)
+    chained = (
+        window_features_chained(
+            rd.from_arrow(tbl), metrics=METRICS, heavy_keys=heavy,
+            sub_range_rows=64, tie_col="turn_idx", num_buckets=8, phases=PH)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    base = (
+        window_features(rd.from_arrow(tbl), metrics=METRICS, num_buckets=8,
+                        assign_turn_idx=True, phases=PH)
+        .to_pandas()[_stream_cols(METRICS, PH)]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(chained) == len(base) == tbl.num_rows
+    exact = [f"{f}_value_{p}" for p in PH for f in ("last", "avg")]
+    allc = [f"{f}_value_{p}" for p in PH for f in ("form", "ewma")]
+    _assert_cols(chained, base, CHAIN_EXACT + exact, CHAIN_ALLCLOSE + allc)

@@ -138,7 +138,9 @@ def _chain_step(carried_state, los, his, metrics, session_gap_s, phases, *blocks
     if carried_state:
         actor.state = carried_state
     out = actor(df)
-    return out, actor.state
+    # hand Arrow back: the union side then carries Arrow blocks only (no
+    # pandas metadata in block schemas, one fewer conversion downstream)
+    return pa.Table.from_pandas(out, preserve_index=False), actor.state
 
 
 def window_features_chained(
@@ -304,7 +306,7 @@ def window_features_chained(
             )
             out_refs.append(out_ref)
 
-    heavy_feats = ray.data.from_pandas_refs(out_refs).map_batches(
+    heavy_feats = ray.data.from_arrow_refs(out_refs).map_batches(
         _select, batch_format="pyarrow", zero_copy_batch=True
     )
     return normal_feats.union(heavy_feats)
